@@ -1,0 +1,111 @@
+"""Evaluation metrics: min-of-S ADE / FDE / TCC / COL, masked & vmappable.
+
+Formula-for-formula port targets from the reference (utils/metrics.py):
+  ADE  metrics.py:73-86    mean-over-time, min-over-samples L2 error
+  FDE  metrics.py:89-102   final-step, min-over-samples L2 error
+  TCC  metrics.py:105-130  per-coordinate Pearson corr between the best-FDE
+                           sample and GT, averaged over x/y
+  COL  metrics.py:133-155  % of samples in which a ped passes within 0.2 m of
+                           another ped, with 4x temporal interpolation over the
+                           first 3*4+2 dense steps
+
+All functions take an additional ped-validity mask so padded slots neither
+produce values nor pollute pairwise terms. Each operates on one scene
+(pred (S, N, T, 2), gt (N, T, 2)); vmap over a leading scene axis for batched
+evaluation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ade(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """(S, N, T, 2), (N, T, 2) -> (N,) min-of-S average displacement error."""
+    d = jnp.linalg.norm(pred - gt[None], axis=-1)   # (S, N, T)
+    return jnp.min(jnp.mean(d, axis=2), axis=0)
+
+
+def fde(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """(S, N, T, 2), (N, T, 2) -> (N,) min-of-S final displacement error."""
+    d = jnp.linalg.norm(pred - gt[None], axis=-1)
+    return jnp.min(d[:, :, -1], axis=0)
+
+
+def tcc(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Temporal correlation coefficient of the best-FDE sample (metrics.py:105-130).
+
+    (S, N, T, 2), (N, T, 2) -> (N,).
+    """
+    d = jnp.linalg.norm(pred - gt[None], axis=-1)           # (S, N, T)
+    best = jnp.argmin(d[:, :, -1], axis=0)                  # (N,)
+    pred_best = jnp.take_along_axis(
+        pred, best[None, :, None, None], axis=0
+    )[0]                                                    # (N, T, 2)
+
+    # stack -> (2stack, N, T, 2c) -> (2c, N, 2stack, T) as metrics.py:117-118
+    pg = jnp.stack([pred_best, gt], axis=0)
+    pg = jnp.transpose(pg, (3, 1, 0, 2))
+    centered = pg - jnp.mean(pg, axis=-1, keepdims=True)
+    factor = 1.0 / (pg.shape[-1] - 1)
+    cov = factor * centered @ jnp.swapaxes(centered, -1, -2)  # (2c, N, 2, 2)
+    var = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    std = jnp.sqrt(var)
+    corr = cov / std[..., :, None] / std[..., None, :]
+    corr = jnp.clip(corr, -1.0, 1.0)
+    corr = jnp.nan_to_num(corr, nan=0.0)
+    return jnp.mean(corr[:, :, 0, 1], axis=0)               # (N,)
+
+
+def col(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Collision rate % per ped (metrics.py:133-155), masked for padding.
+
+    pred: (S, N, T, 2); valid: (N,) bool. GT is unused (as in the reference).
+    """
+    num_interp, thres = 4, 0.2
+    p = jnp.transpose(pred, (0, 2, 1, 3))                   # (S, T, N, 2)
+    s, t, n, _ = p.shape
+    fp = p[:, :1]                                           # (S, 1, N, 2)
+    rel = p[:, 1:] - p[:, :-1]                              # (S, T-1, N, 2)
+    rel_dense = jnp.repeat(rel / num_interp, num_interp, axis=1)
+    dense = jnp.concatenate([fp, rel_dense], axis=1).cumsum(axis=1)
+    window = dense[:, : 3 * num_interp + 2]                 # (S, Td, N, 2)
+    diff = window[:, :, :, None, :] - window[:, :, None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)                   # (S, Td, N, N)
+    # Exclude self-pairs and any pair touching an invalid slot.
+    block = jnp.eye(n) + (~(valid[:, None] & valid[None, :])).astype(dist.dtype)
+    dist = dist + block[None, None]
+    col_mask = jnp.min(dist, axis=1) < thres                # (S, N, N)
+    collided = jnp.sum(col_mask, axis=2) > 0                # (S, N)
+    return jnp.mean(collided.astype(pred.dtype), axis=0) * 100.0
+
+
+class AverageMeter:
+    """List-backed meter (utils/metrics.py:5-27), host-side."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.data = []
+
+    def append(self, value):
+        self.data.append([value])
+
+    def extend(self, values):
+        self.data.append(values)
+
+    def mean(self):
+        import numpy as np
+
+        return float(np.concatenate(self.data, axis=0).mean())
+
+    def sum(self):
+        import numpy as np
+
+        return float(np.concatenate(self.data, axis=0).sum())
+
+    def __len__(self):
+        import numpy as np
+
+        return int(np.concatenate(self.data, axis=0).shape[0])

@@ -1,0 +1,28 @@
+"""Helpers to load the read-only upstream reference (/root/reference) for
+numerical parity tests. The reference is imported, never copied; tests that
+use it are skipped when it is absent."""
+import os
+import sys
+
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_PATH)
+
+
+def reference_module(name: str):
+    """Import a module from the reference tree (e.g. 'EigenTrajectory' or
+    'utils.metrics'). Skips the calling test when unavailable."""
+    if not has_reference():
+        pytest.skip("reference tree not available")
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import importlib
+
+    try:
+        return importlib.import_module(name)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
