@@ -122,7 +122,12 @@ def et_forward(
 
     # --- Prediction via the bridged baseline (model.py:93-95) ---
     aux.setdefault("ped_valid", ped_valid)
-    c_pred_refine = predictor_fn(c_obs, obs_ori, aux)  # (k, N, s)
+    pred_out = predictor_fn(c_obs, obs_ori, aux)       # (k, N, s)
+    extras = None
+    if isinstance(pred_out, tuple):
+        c_pred_refine, extras = pred_out
+    else:
+        c_pred_refine = pred_out
 
     # --- Anchor refinement (model.py:98-99; anchor.py:87) ---
     c_pred_m = refine(et.anchor_m, c_pred_refine)
@@ -135,6 +140,8 @@ def et_forward(
     recon = jnp.where(mask[None, :, None, None], recon_m, recon_s)  # (s, N, T, 2)
 
     output = {"recon_traj": recon, "moving_mask": mask}
+    if extras is not None:
+        output["extras"] = extras
 
     if pred_traj is not None:
         # GT low-rank approximation (model.py:108-117), detached.

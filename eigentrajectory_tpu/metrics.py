@@ -80,6 +80,31 @@ def col(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(collided.astype(pred.dtype), axis=0) * 100.0
 
 
+def col_scene_masked(
+    pred: jnp.ndarray, valid: jnp.ndarray, same_scene: jnp.ndarray
+) -> jnp.ndarray:
+    """COL restricted to within-scene pairs, for flat multi-scene batches.
+
+    pred: (S, N, T, 2); valid: (N,); same_scene: (N, N) bool.
+    """
+    num_interp, thres = 4, 0.2
+    p = jnp.transpose(pred, (0, 2, 1, 3))
+    s, t, n, _ = p.shape
+    fp = p[:, :1]
+    rel = p[:, 1:] - p[:, :-1]
+    rel_dense = jnp.repeat(rel / num_interp, num_interp, axis=1)
+    dense = jnp.concatenate([fp, rel_dense], axis=1).cumsum(axis=1)
+    window = dense[:, : 3 * num_interp + 2]
+    diff = window[:, :, :, None, :] - window[:, :, None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    pair_ok = same_scene & valid[:, None] & valid[None, :]
+    block = jnp.eye(n) + (~pair_ok).astype(dist.dtype)
+    dist = dist + block[None, None]
+    col_mask = jnp.min(dist, axis=1) < thres
+    collided = jnp.sum(col_mask, axis=2) > 0
+    return jnp.mean(collided.astype(pred.dtype), axis=0) * 100.0
+
+
 class AverageMeter:
     """List-backed meter (utils/metrics.py:5-27), host-side."""
 

@@ -1,0 +1,416 @@
+"""Jitted training/evaluation engine.
+
+Replaces the reference trainer hierarchy (utils/trainer.py:9-264) with two
+compiled step functions per experiment:
+
+* sequenced regime — the reference iterates one ragged scene per step and
+  accumulates gradients over `batch_size` scenes (trainer.py:120-154). Here a
+  whole block of padded scenes is vmapped through the facade and reduced in a
+  single jitted step; grad((1/B) sum_b loss_b) is identical to the reference's
+  accumulated update.
+* collated regime — the reference packs ~batch_size peds from several scenes
+  into one flat batch (dataloader.py:68-119, trainer.py:198-264). Here the
+  packed batch is padded to a fixed P_max and processed as one masked scene
+  with a block-diagonal scene mask.
+
+Optimizer: optax AdamW + global-norm clip + StepLR-equivalent schedule
+(trainer.py:39-46). NaN losses are zeroed per scene (trainer.py:133) and NaN
+grads are zeroed via optax.zero_nans().
+"""
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from .. import metrics as M
+from ..config import ExpConfig
+from ..data.batching import CollatedBatcher, SceneBatcher, max_collated_peds, pad_scenes
+from ..data.dataset import TrajectoryData, augment_trajectory, load_trajectory_data
+from ..etspace.facade import ETParams, calculate_parameters, et_forward
+from ..models import get_baseline
+
+
+def _tree_weighted_mean(tree, weights):
+    """Average a pytree over its leading axis with scalar weights (B,)."""
+    wsum = jnp.maximum(weights.sum(), 1.0)
+
+    def avg(x):
+        w = weights.reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x * w).sum(axis=0) / wsum
+
+    return jax.tree_util.tree_map(avg, tree)
+
+
+class ETJaxTrainer:
+    """End-to-end trainer for one (baseline, dataset) experiment."""
+
+    def __init__(self, cfg: ExpConfig, tag: str = "EigenTrajectory-TPU", test_mode: bool = False):
+        self.cfg = cfg
+        self.tag = tag
+        self.baseline = get_baseline(cfg.baseline)
+        self.batching = self.baseline.BATCHING
+
+        self.dataset_dir = os.path.join(cfg.dataset_dir, cfg.dataset)
+        self.checkpoint_dir = os.path.join(cfg.checkpoint_dir, tag, cfg.dataset)
+        self.log: Dict[str, list] = {"train_loss": [], "val_loss": []}
+
+        # --- data (dataloader.py semantics) ---
+        self.data_train = load_trajectory_data(
+            os.path.join(self.dataset_dir, "train"), cfg.obs_len, cfg.pred_len, cfg.skip)
+        self.data_val = load_trajectory_data(
+            os.path.join(self.dataset_dir, "val"), cfg.obs_len, cfg.pred_len, cfg.skip)
+        self.data_test = load_trajectory_data(
+            os.path.join(self.dataset_dir, "test"), cfg.obs_len, cfg.pred_len, cfg.skip)
+
+        self.n_max = cfg.n_max_peds or max(
+            self.data_train.max_peds_per_scene,
+            self.data_val.max_peds_per_scene,
+            self.data_test.max_peds_per_scene,
+        )
+        if self.batching == "collated":
+            self.p_max = max(
+                max_collated_peds(self.data_train, cfg.batch_size),
+                max_collated_peds(self.data_val, cfg.batch_size),
+                self.n_max,
+            )
+
+        # --- model + optimizer ---
+        self.model = self.baseline.make_model(cfg)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_key = jax.random.split(self.rng)
+        n_slots = self.n_max if self.batching == "sequenced" else self.p_max
+        dummy_aux = self._make_aux_template(n_slots)
+        dummy_inputs = self.baseline.prepare(
+            jnp.zeros((cfg.k, n_slots)), jnp.zeros((2, n_slots)), dummy_aux)
+        variables = self.model.init(
+            {"params": init_key, "dropout": init_key}, *dummy_inputs, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        if self.batching == "sequenced":
+            steps_per_epoch = max(1, len(SceneBatcher(self.data_train, cfg.batch_size, False)))
+        else:
+            steps_per_epoch = max(1, len(CollatedBatcher(
+                self.data_train, cfg.batch_size, False, drop_last=True)))
+        self.steps_per_epoch = steps_per_epoch
+
+        if cfg.lr_schd:
+            boundary = cfg.lr_schd_step * steps_per_epoch
+
+            def schedule(step):
+                return cfg.lr * (cfg.lr_schd_gamma ** (step // boundary))
+        else:
+            def schedule(step):
+                return cfg.lr
+
+        chain = [optax.zero_nans()]
+        if cfg.clip_grad is not None:
+            chain.append(optax.clip_by_global_norm(cfg.clip_grad))
+        chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
+        self.tx = optax.chain(*chain)
+        self.opt_state = self.tx.init(self.params)
+
+        self.et: Optional[ETParams] = None
+        self._train_step = None
+        self._eval_step = None
+
+        if not test_mode:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            with open(os.path.join(self.checkpoint_dir, "config.pkl"), "wb") as fp:
+                pickle.dump(cfg, fp)
+
+    # ------------------------------------------------------------------ aux
+    def _make_aux_template(self, n_slots: int, scene_ids=None) -> Dict[str, Any]:
+        aux: Dict[str, Any] = {
+            "ped_valid": jnp.ones((n_slots,), bool),
+            "num_samples": self.cfg.num_samples,
+        }
+        if scene_ids is None:
+            scene_ids = jnp.zeros((n_slots,), jnp.int32)
+        aux["scene_ids"] = scene_ids
+        aux["scene_mask"] = (scene_ids[:, None] == scene_ids[None, :]) & (
+            scene_ids[:, None] >= 0)
+        return aux
+
+    # ----------------------------------------------------------- descriptor
+    def init_descriptor(self):
+        """One-time ET descriptor + anchor fit (trainer.py:48-55)."""
+        obs = np.concatenate([self.data_train.obs_traj, self.data_val.obs_traj], axis=0)
+        pred = np.concatenate([self.data_train.pred_traj, self.data_val.pred_traj], axis=0)
+        obs, pred = augment_trajectory(obs, pred)
+        self.rng, key = jax.random.split(self.rng)
+        self.et = calculate_parameters(
+            key, obs, pred, self.cfg.k, self.cfg.num_samples, self.cfg.static_dist)
+
+    # ------------------------------------------------------------- forward
+    def _predictor_fn(self, params, batch_stats, rng, train: bool):
+        module, baseline = self.model, self.baseline
+
+        def fn(c_obs, obs_ori, aux):
+            inputs = baseline.prepare(c_obs, obs_ori, aux)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            rngs = {"dropout": rng} if rng is not None else None
+            if train and batch_stats:
+                out, updates = module.apply(
+                    variables, *inputs, train=True, mutable=["batch_stats"], rngs=rngs)
+                return baseline.finalize(out, aux), updates["batch_stats"]
+            out = module.apply(variables, *inputs, train=train, rngs=rngs)
+            return baseline.finalize(out, aux)
+
+        return fn
+
+    def _scene_forward(self, params, batch_stats, obs, pred, valid, rng, aux,
+                       train: bool):
+        pf = self._predictor_fn(params, batch_stats, rng, train)
+        return et_forward(self.et, pf, obs, valid, self.cfg.static_dist,
+                          pred_traj=pred, aux=aux)
+
+    # ---------------------------------------------------------- train steps
+    def _build_train_step(self):
+        cfg = self.cfg
+
+        if self.batching == "sequenced":
+            def train_step(params, batch_stats, opt_state, obs, pred, valid,
+                           scene_valid, rng):
+                def batched_loss(p):
+                    def one(o, g, v, r):
+                        out = self._scene_forward(p, batch_stats, o, g, v, r,
+                                                  self._make_aux_template(o.shape[0]),
+                                                  train=True)
+                        loss = (out["loss_eigentraj"] + out["loss_euclidean_ade"]
+                                + out["loss_euclidean_fde"])
+                        new_bs = out.get("extras", batch_stats)
+                        return loss, new_bs
+
+                    rngs = jax.random.split(rng, obs.shape[0])
+                    losses, new_bs = jax.vmap(one)(obs, pred, valid, rngs)
+                    w = scene_valid.astype(losses.dtype)
+                    losses = jnp.nan_to_num(losses, nan=0.0, posinf=0.0, neginf=0.0) * w
+                    total = losses.sum() / cfg.batch_size
+                    return total, _tree_weighted_mean(new_bs, w)
+
+                (loss, new_bs), grads = jax.value_and_grad(batched_loss, has_aux=True)(params)
+                updates, opt_state2 = self.tx.update(grads, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                return params2, new_bs, opt_state2, loss
+        else:
+            def train_step(params, batch_stats, opt_state, obs, pred, valid,
+                           scene_ids, rng):
+                def batched_loss(p):
+                    aux = self._make_aux_template(obs.shape[0], scene_ids)
+                    out = self._scene_forward(p, batch_stats, obs, pred, valid, rng,
+                                              aux, train=True)
+                    loss = (out["loss_eigentraj"] + out["loss_euclidean_ade"]
+                            + out["loss_euclidean_fde"])
+                    loss = jnp.nan_to_num(loss, nan=0.0, posinf=0.0, neginf=0.0)
+                    return loss, out.get("extras", batch_stats)
+
+                (loss, new_bs), grads = jax.value_and_grad(batched_loss, has_aux=True)(params)
+                updates, opt_state2 = self.tx.update(grads, opt_state, params)
+                params2 = optax.apply_updates(params, updates)
+                return params2, new_bs, opt_state2, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    def _build_val_step(self):
+        """Validation loss: sum(FDE_mean * n_valid) per scene (trainer.py:156-170)."""
+        if self.batching == "sequenced":
+            def val_step(params, batch_stats, obs, pred, valid, scene_valid):
+                def one(o, g, v):
+                    out = self._scene_forward(params, batch_stats, o, g, v, None,
+                                              self._make_aux_template(o.shape[0]),
+                                              train=False)
+                    n = v.astype(jnp.float32).sum()
+                    return out["loss_euclidean_fde"] * n
+
+                losses = jax.vmap(one)(obs, pred, valid)
+                return (losses * scene_valid).sum()
+        else:
+            def val_step(params, batch_stats, obs, pred, valid, scene_ids):
+                aux = self._make_aux_template(obs.shape[0], scene_ids)
+                out = self._scene_forward(params, batch_stats, obs, pred, valid,
+                                          None, aux, train=False)
+                return out["loss_euclidean_fde"] * valid.astype(jnp.float32).sum()
+
+        return jax.jit(val_step)
+
+    def _build_eval_step(self):
+        """Test metrics per scene: ADE/FDE/TCC/COL per ped (trainer.py:172-195)."""
+        if self.batching == "sequenced":
+            def eval_step(params, batch_stats, obs, pred, valid, scene_valid):
+                def one(o, g, v):
+                    out = self._scene_forward(params, batch_stats, o, None, v, None,
+                                              self._make_aux_template(o.shape[0]),
+                                              train=False)
+                    r = out["recon_traj"]
+                    return (M.ade(r, g), M.fde(r, g), M.tcc(r, g), M.col(r, v))
+
+                return jax.vmap(one)(obs, pred, valid)
+        else:
+            def eval_step(params, batch_stats, obs, pred, valid, scene_ids):
+                aux = self._make_aux_template(obs.shape[0], scene_ids)
+                out = self._scene_forward(params, batch_stats, obs, None, valid,
+                                          None, aux, train=False)
+                r = out["recon_traj"]
+                # COL must stay within-scene: vmap over scenes via masking.
+                same_scene = (scene_ids[:, None] == scene_ids[None, :])
+                col = M.col_scene_masked(r, valid, same_scene)
+                return (M.ade(r, pred), M.fde(r, pred), M.tcc(r, pred), col)
+
+        return jax.jit(eval_step)
+
+    # -------------------------------------------------------------- epochs
+    def _train_batches(self, shuffle=True, seed=0):
+        if self.batching == "sequenced":
+            return SceneBatcher(self.data_train, self.cfg.batch_size, shuffle,
+                                self.n_max, seed=seed)
+        return CollatedBatcher(self.data_train, self.cfg.batch_size, shuffle,
+                               self.p_max, drop_last=True, seed=seed)
+
+    def train(self, epoch: int) -> float:
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        total, count = 0.0, 0
+        for batch in self._train_batches(shuffle=True, seed=self.cfg.seed + epoch):
+            self.rng, step_rng = jax.random.split(self.rng)
+            if self.batching == "sequenced":
+                args = (jnp.asarray(batch.obs), jnp.asarray(batch.pred),
+                        jnp.asarray(batch.ped_valid), jnp.asarray(batch.scene_valid))
+            else:
+                args = (jnp.asarray(batch.obs), jnp.asarray(batch.pred),
+                        jnp.asarray(batch.ped_valid), jnp.asarray(batch.scene_ids))
+            self.params, self.batch_stats, self.opt_state, loss = self._train_step(
+                self.params, self.batch_stats, self.opt_state, *args, step_rng)
+            total += float(loss)
+            count += 1
+        # Match the reference's normalization: loss divided by the number of
+        # scenes (sequenced, trainer.py:154) or batches (collated, :233).
+        if self.batching == "sequenced":
+            avg = total / max(1, self.data_train.num_scenes)
+        else:
+            avg = total / max(1, count)
+        self.log["train_loss"].append(avg)
+        return avg
+
+    def valid(self, epoch: int) -> float:
+        if not hasattr(self, "_val_step_fn") or self._val_step_fn is None:
+            self._val_step_fn = self._build_val_step()
+        total = 0.0
+        if self.batching == "sequenced":
+            batcher = SceneBatcher(self.data_val, self.cfg.batch_size, False, self.n_max)
+            for batch in batcher:
+                total += float(self._val_step_fn(
+                    self.params, self.batch_stats, jnp.asarray(batch.obs),
+                    jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
+                    jnp.asarray(batch.scene_valid)))
+        else:
+            batcher = CollatedBatcher(self.data_val, self.cfg.batch_size, False, self.p_max)
+            for batch in batcher:
+                total += float(self._val_step_fn(
+                    self.params, self.batch_stats, jnp.asarray(batch.obs),
+                    jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
+                    jnp.asarray(batch.scene_ids)))
+        val = total / max(1, int(self.data_val.num_peds_in_seq.sum()))
+        self.log["val_loss"].append(val)
+        return val
+
+    def fit(self, num_epochs: Optional[int] = None, verbose: bool = True):
+        """Training loop with best-val checkpointing (trainer.py:68-87)."""
+        num_epochs = num_epochs or self.cfg.num_epochs
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            self.train(epoch)
+            self.valid(epoch)
+            if epoch == 0 or self.log["val_loss"][-1] < min(self.log["val_loss"][:-1]):
+                self.save_model()
+            if verbose:
+                print(f"[{self.cfg.dataset}/{self.cfg.baseline}] epoch {epoch} "
+                      f"train {self.log['train_loss'][-1]:.6f} "
+                      f"val {self.log['val_loss'][-1]:.6f} "
+                      f"best {min(self.log['val_loss']):.6f} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+
+    # ---------------------------------------------------------------- test
+    def test(self, eval_batch: int = 64) -> Dict[str, float]:
+        """Evaluate min-of-S metrics over the test split (trainer.py:172-195).
+
+        Scenes are evaluated `eval_batch` at a time through one compiled step
+        (the reference runs one scene per step)."""
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        meters = {k: M.AverageMeter() for k in ("ADE", "FDE", "TCC", "COL")}
+        if self.batching == "sequenced":
+            batcher = SceneBatcher(self.data_test, eval_batch, False, self.n_max)
+            for batch in batcher:
+                ades, fdes, tccs, cols = self._eval_step(
+                    self.params, self.batch_stats, jnp.asarray(batch.obs),
+                    jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
+                    jnp.asarray(batch.scene_valid))
+                v = batch.ped_valid
+                for name, val in zip(("ADE", "FDE", "TCC", "COL"),
+                                     (ades, fdes, tccs, cols)):
+                    meters[name].extend(np.asarray(val)[v])
+        else:
+            # Reference tests one scene per batch in the collated regime too
+            # (trainer.py:118, loader_test batch_size=1); pack scenes the same
+            # way but pad to p_max for a single compiled shape.
+            batcher = CollatedBatcher(self.data_test, 1, False, self.n_max)
+            for batch in batcher:
+                ades, fdes, tccs, cols = self._eval_step(
+                    self.params, self.batch_stats, jnp.asarray(batch.obs),
+                    jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
+                    jnp.asarray(batch.scene_ids))
+                v = batch.ped_valid
+                for name, val in zip(("ADE", "FDE", "TCC", "COL"),
+                                     (ades, fdes, tccs, cols)):
+                    meters[name].extend(np.asarray(val)[v])
+        return {k: m.mean() for k, m in meters.items()}
+
+    # --------------------------------------------------------- checkpoints
+    def _state_dict(self):
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "et": self.et,
+        }
+
+    def save_model(self, filename: str = "model_best.msgpack"):
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.checkpoint_dir, filename)
+        with open(path, "wb") as fp:
+            fp.write(serialization.to_bytes(self._state_dict()))
+        with open(os.path.join(self.checkpoint_dir, "log.pkl"), "wb") as fp:
+            pickle.dump(self.log, fp)
+
+    def load_model(self, filename: str = "model_best.msgpack"):
+        path = os.path.join(self.checkpoint_dir, filename)
+        with open(path, "rb") as fp:
+            data = fp.read()
+        if self.et is None:
+            # Build a template ETParams so deserialization has a target pytree.
+            k, s, d = self.cfg.k, self.cfg.num_samples, self.cfg.traj_dim
+            from ..etspace.descriptor import ETBasis
+            zb = lambda t: jnp.zeros((t * d, k))
+            self.et = ETParams(
+                basis_m=ETBasis(zb(self.cfg.obs_len), zb(self.cfg.pred_len)),
+                basis_s=ETBasis(zb(self.cfg.obs_len), zb(self.cfg.pred_len)),
+                anchor_m=jnp.zeros((k, s)), anchor_s=jnp.zeros((k, s)))
+        state = serialization.from_bytes(self._state_dict(), data)
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        self.et = state["et"]
+        log_path = os.path.join(self.checkpoint_dir, "log.pkl")
+        if os.path.exists(log_path):
+            with open(log_path, "rb") as fp:
+                self.log = pickle.load(fp)
