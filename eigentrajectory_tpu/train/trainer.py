@@ -53,7 +53,8 @@ def _tree_weighted_mean(tree, weights):
 class ETJaxTrainer:
     """End-to-end trainer for one (baseline, dataset) experiment."""
 
-    def __init__(self, cfg: ExpConfig, tag: str = "EigenTrajectory-TPU", test_mode: bool = False):
+    def __init__(self, cfg: ExpConfig, tag: str = "EigenTrajectory-TPU",
+                 test_mode: bool = False, datasets=None):
         self.cfg = cfg
         self.tag = tag
         self.baseline = get_baseline(cfg.baseline)
@@ -63,13 +64,17 @@ class ETJaxTrainer:
         self.checkpoint_dir = os.path.join(cfg.checkpoint_dir, tag, cfg.dataset)
         self.log: Dict[str, list] = {"train_loss": [], "val_loss": []}
 
-        # --- data (dataloader.py semantics) ---
-        self.data_train = load_trajectory_data(
-            os.path.join(self.dataset_dir, "train"), cfg.obs_len, cfg.pred_len, cfg.skip)
-        self.data_val = load_trajectory_data(
-            os.path.join(self.dataset_dir, "val"), cfg.obs_len, cfg.pred_len, cfg.skip)
-        self.data_test = load_trajectory_data(
-            os.path.join(self.dataset_dir, "test"), cfg.obs_len, cfg.pred_len, cfg.skip)
+        # --- data (dataloader.py semantics); `datasets` overrides loading
+        # (used by tests / dry runs / benchmarks) ---
+        if datasets is not None:
+            self.data_train, self.data_val, self.data_test = datasets
+        else:
+            self.data_train = load_trajectory_data(
+                os.path.join(self.dataset_dir, "train"), cfg.obs_len, cfg.pred_len, cfg.skip)
+            self.data_val = load_trajectory_data(
+                os.path.join(self.dataset_dir, "val"), cfg.obs_len, cfg.pred_len, cfg.skip)
+            self.data_test = load_trajectory_data(
+                os.path.join(self.dataset_dir, "test"), cfg.obs_len, cfg.pred_len, cfg.skip)
 
         self.n_max = cfg.n_max_peds or max(
             self.data_train.max_peds_per_scene,

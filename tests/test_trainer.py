@@ -39,8 +39,9 @@ def tiny_trainer(rng, tmp_path, monkeypatch):
     return build
 
 
-def test_fit_and_test_stgcnn(tiny_trainer):
-    tr = tiny_trainer("stgcnn")
+@pytest.mark.parametrize("baseline", ["stgcnn", "sgcn", "pecnet", "lbebm", "agentformer"])
+def test_fit_and_test(tiny_trainer, baseline):
+    tr = tiny_trainer(baseline)
     tr.init_descriptor()
     tr.fit(num_epochs=2, verbose=False)
     assert len(tr.log["train_loss"]) == 2
