@@ -108,11 +108,14 @@ class SparseWeightedAdjacency(nn.Module):
     embedding_dims: int = 64
     obs_len: int = 8
     n_asym: int = 7
+    drop_first_channel: bool = False  # GP-Graph variant: loc_pos channel is
+                                      # excluded from spatial attention
+                                      # (gpgraphsgcn/model_baseline.py:~178)
 
     @nn.compact
-    def __call__(self, graph, identity, valid):
+    def __call__(self, graph, identity, valid, pair_mask=None):
         # graph: (T, N, in_dims)
-        spatial_graph = graph                              # (T, N, d)
+        spatial_graph = graph[:, :, 1:] if self.drop_first_channel else graph
         temporal_graph = jnp.transpose(graph, (1, 0, 2))   # (N, T, d)
 
         dense_spatial, _ = SelfAttention(
@@ -135,6 +138,10 @@ class SparseWeightedAdjacency(nn.Module):
         # self-connected (model.py:160-161)
         spatial_mask = spatial_mask + identity[0][:, None]   # (1,1,N,N) bcast
         temporal_mask = temporal_mask + identity[1][:, None]
+
+        # optional group mask (model.py:163-165, used by GP-Graph intra stream)
+        if pair_mask is not None:
+            spatial_mask = spatial_mask * pair_mask
 
         norm_spatial = zero_softmax(dense_spatial * spatial_mask, axis=-1)
         norm_temporal = zero_softmax(dense_temporal * temporal_mask, axis=-1)
@@ -159,10 +166,14 @@ class SparseGraphConvolution(nn.Module):
 
     in_dims: int = 1
     embedding_dims: int = 16
+    drop_first_channel: bool = False
 
     @nn.compact
     def __call__(self, graph, norm_spatial, norm_temporal):
-        # graph: (1, T, N, d)
+        # graph: (1, T, N, d); GP-Graph variant drops loc_pos for the GCN
+        # (gpgraphsgcn/model_baseline.py SparseGraphConvolution.forward).
+        if self.drop_first_channel:
+            graph = graph[:, :, :, 1:]
         spa_graph = jnp.transpose(graph, (1, 0, 2, 3))     # (T, 1, N, d)
         tem_graph = jnp.transpose(spa_graph, (2, 1, 0, 3))  # (N, 1, T, d)
 
@@ -192,16 +203,22 @@ class SGCNTrajectoryModel(nn.Module):
     in_dims: int = 1
     out_dims: int = 20
     num_heads: int = 4
+    gpgraph_variant: bool = False  # loc_pos channel handling, see model_baseline.py
 
     @nn.compact
-    def __call__(self, graph, identity, valid, train: bool = False):
-        # graph: (1, T, N, in_dims)
+    def __call__(self, graph, identity, valid, pair_mask=None, train: bool = False):
+        # graph: (1, T, N, in_dims) — GP-Graph variant: (1, T, N, in_dims+1)
+        # with loc_pos in channel 0; spatial attention sees in_dims, temporal
+        # sees in_dims+1 (model_baseline.py TrajectoryModel.__init__).
+        tem_in = self.in_dims + 1 if self.gpgraph_variant else self.in_dims
         norm_spatial, norm_temporal = SparseWeightedAdjacency(
-            self.in_dims, self.in_dims, self.embedding_dims, self.obs_len,
-            self.n_asym, name="sparse_adjacency")(graph[0], identity, valid)
+            self.in_dims, tem_in, self.embedding_dims, self.obs_len,
+            self.n_asym, drop_first_channel=self.gpgraph_variant,
+            name="sparse_adjacency")(graph[0], identity, valid, pair_mask)
 
         gcn_ts, gcn_st = SparseGraphConvolution(
-            self.in_dims, self.embedding_dims // self.num_heads, name="stsgcn")(
+            self.in_dims, self.embedding_dims // self.num_heads,
+            drop_first_channel=self.gpgraph_variant, name="stsgcn")(
             graph, norm_spatial, norm_temporal)             # both (N, 4, T, e)
 
         fused = TorchConv2d(self.num_heads, self.num_heads, (1, 1),

@@ -28,17 +28,24 @@ from flax import linen as nn
 from .common import MaskedBatchNorm2d, PReLU, TorchConv2d, zero_invalid
 
 
-def generate_adjacency_matrix(v: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def generate_adjacency_matrix(
+    v: jnp.ndarray, valid: jnp.ndarray, pair_mask=None
+) -> jnp.ndarray:
     """Inverse-distance normalized-Laplacian adjacency (stgcnn/bridge.py:4-21).
 
-    v: (1, 1, T, V) coefficient sequence; valid: (V,) bool.
+    v: (1, 1, T, V) coefficient sequence; valid: (V,) bool; pair_mask: optional
+    (V, V) bool multiplying the inverse-distance kernel (the GP-Graph intra
+    stream's group mask, gpgraphstgcnn/model_groupwrapper.py:227).
     Returns (T, V, V). Padded nodes are isolated (their rows/cols vanish),
     which reproduces the reference graph over the valid sub-block exactly.
     """
     x = v[0, 0]                                        # (T, V)
     a = jnp.abs(x[:, :, None] - x[:, None, :])         # (T, V, V) |c_i - c_j|
     a_inv = jnp.where(a == 0, 0.0, 1.0 / jnp.where(a == 0, 1.0, a))
-    mask = (valid[:, None] & valid[None, :]).astype(x.dtype)
+    mask = (valid[:, None] & valid[None, :])
+    if pair_mask is not None:
+        mask = mask & pair_mask
+    mask = mask.astype(x.dtype)
     a_inv = a_inv * mask[None]
     n = x.shape[1]
     eye = jnp.eye(n, dtype=x.dtype)
@@ -57,6 +64,10 @@ class STGCN(nn.Module):
     out_channels: int
     t_kernel: int        # temporal kernel (3)
     spatial_kernel: int  # == seq_len; number of per-timestep adjacency slices
+    single_relation: bool = False  # GP-Graph STGCNN variant
+                                   # (gpgraphstgcnn/model_baseline.py): the
+                                   # graph conv emits out_channels (no *K) and
+                                   # contracts 'nctv,tvw->nctw'
 
     @nn.compact
     def __call__(self, x, a, valid, train: bool):
@@ -70,12 +81,17 @@ class STGCN(nn.Module):
                 res, valid, use_running_average=not train)
 
         # --- graph conv (ConvTemporalGraphical, model.py:36-52) ---
-        h = TorchConv2d(
-            self.in_channels, self.out_channels * self.spatial_kernel, (1, 1), name="gcn_conv"
-        )(x)
-        n, kc, t, v = h.shape
-        h = h.reshape(n, self.spatial_kernel, kc // self.spatial_kernel, t, v)
-        h = jnp.einsum("nkctv,kvw->nctw", h, a)
+        if self.single_relation:
+            h = TorchConv2d(self.in_channels, self.out_channels, (1, 1),
+                            name="gcn_conv")(x)
+            h = jnp.einsum("nctv,tvw->nctw", h, a)
+        else:
+            h = TorchConv2d(
+                self.in_channels, self.out_channels * self.spatial_kernel, (1, 1),
+                name="gcn_conv")(x)
+            n, kc, t, v = h.shape
+            h = h.reshape(n, self.spatial_kernel, kc // self.spatial_kernel, t, v)
+            h = jnp.einsum("nkctv,kvw->nctw", h, a)
 
         # --- temporal conv (model.py:84-88) ---
         h = MaskedBatchNorm2d(self.out_channels, name="tcn_bn1")(
@@ -100,6 +116,7 @@ class SocialSTGCNN(nn.Module):
     seq_len: int = 8
     pred_seq_len: int = 6
     kernel_size: int = 3
+    single_relation: bool = False  # GP-Graph STGCNN variant graph conv
 
     @nn.compact
     def __call__(self, v, a, valid, train: bool = False):
@@ -107,6 +124,7 @@ class SocialSTGCNN(nn.Module):
         for i in range(self.n_stgcnn):
             cin = self.input_feat if i == 0 else self.output_feat
             v = STGCN(cin, self.output_feat, self.kernel_size, self.seq_len,
+                      single_relation=self.single_relation,
                       name=f"st_gcn_{i}")(v, a, valid, train)
 
         # raw memory reinterpretation (model.py:128), NOT a transpose

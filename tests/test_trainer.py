@@ -39,7 +39,9 @@ def tiny_trainer(rng, tmp_path, monkeypatch):
     return build
 
 
-@pytest.mark.parametrize("baseline", ["stgcnn", "sgcn", "pecnet", "lbebm", "agentformer"])
+@pytest.mark.parametrize("baseline", ["stgcnn", "sgcn", "pecnet", "lbebm", "agentformer",
+                                      "dmrgcn", "gpgraphsgcn", "gpgraphstgcnn",
+                                      "graphtern", "implicit"])
 def test_fit_and_test(tiny_trainer, baseline):
     tr = tiny_trainer(baseline)
     tr.init_descriptor()
