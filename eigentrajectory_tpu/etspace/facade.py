@@ -83,6 +83,7 @@ def et_forward(
     static_dist: float,
     pred_traj: Optional[jnp.ndarray] = None,
     aux: Optional[Dict] = None,
+    return_coefficients: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass (model.py:58-125), masked-dense.
 
@@ -133,6 +134,15 @@ def et_forward(
     c_pred_m = refine(et.anchor_m, c_pred_refine)
     c_pred_s = refine(et.anchor_s, c_pred_refine)
     c_pred = jnp.where(mask[None, :, None], c_pred_m, c_pred_s)  # (k, N, s)
+
+    if return_coefficients:
+        # Defer reconstruction to the caller (e.g. the flattened fused-Pallas
+        # eval path); everything needed to reconstruct + denormalize ships out.
+        return {
+            "c_pred_m": c_pred_m, "c_pred_s": c_pred_s, "moving_mask": mask,
+            "norm_ori": p.ori[:, 0, :], "norm_rot": p.rot,
+            "norm_sca": p.sca[:, 0, 0],
+        }
 
     # --- Reconstruction (model.py:102-105; descriptor.py:162-176) ---
     recon_m = reconstruct(c_pred_m, et.basis_m.U_pred, p, norm_sca=True)

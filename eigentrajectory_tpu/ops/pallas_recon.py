@@ -1,0 +1,123 @@
+"""Fused Pallas TPU kernel: ET reconstruction + denormalization + branch select.
+
+The reference reconstructs trajectories sample-by-sample in Python
+(descriptor.py:173-174) and keeps the moving/static split as two separate
+module calls (model.py:102-105). This kernel fuses, per 128-ped lane tile:
+
+    M_m = U_pred_m @ C_m      (MXU, 24x6 @ 6x128 per sample)
+    M_s = U_pred_s @ C_s
+    denormalize both branches (VPU: scale, rotate, translate)
+    select by the moving mask
+
+into a single VMEM-resident pass over all s samples — one HBM read of the
+coefficients, one HBM write of the trajectories, nothing materialized in
+between.
+
+Used on the evaluation path (cfg.use_pallas); training keeps the XLA einsum
+path so autodiff applies (the op is linear in C, and XLA's own fusion is
+already near-optimal there).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, out_ref):
+    """One 128-ped tile, all samples.
+
+    u_*_ref: (T*2, k); c_*_ref: (S, k, 128); p_ref: (8, 128) packed params
+    [r00, r01, r10, r11, ori_x, ori_y, inv_sca, mask_m]; out_ref: (S, T*2, 128).
+    """
+    u_m = u_m_ref[:]
+    u_s = u_s_ref[:]
+    p = p_ref[:]
+    r00, r01, r10, r11 = p[0:1], p[1:2], p[2:3], p[3:4]
+    ori_x, ori_y = p[4:5], p[5:6]
+    inv_sca = p[6:7]
+    mask_m = p[7:8]
+    t2 = u_m.shape[0]
+    t = t2 // 2
+    n_samples = c_m_ref.shape[0]
+
+    def one_sample(si, _):
+        m_m = jnp.dot(u_m, c_m_ref[si], preferred_element_type=jnp.float32)
+        m_s = jnp.dot(u_s, c_s_ref[si], preferred_element_type=jnp.float32)
+
+        def denorm(m, use_sca):
+            xy = m.reshape(t, 2, LANES)
+            x, y = xy[:, 0], xy[:, 1]                     # (T, 128)
+            if use_sca:
+                x, y = x * inv_sca, y * inv_sca
+            # right-multiply by rot^T (normalizer.py:53-62)
+            x2 = x * r00 + y * r01
+            y2 = x * r10 + y * r11
+            return x2 + ori_x, y2 + ori_y
+
+        xm, ym = denorm(m_m, True)
+        xs, ys = denorm(m_s, False)
+        x = jnp.where(mask_m > 0, xm, xs)
+        y = jnp.where(mask_m > 0, ym, ys)
+        out_ref[si] = jnp.stack([x, y], axis=1).reshape(t2, LANES)
+        return 0
+
+    jax.lax.fori_loop(0, n_samples, one_sample, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_reconstruct(
+    c_m: jnp.ndarray,      # (k, N, S) moving-branch coefficients
+    c_s: jnp.ndarray,      # (k, N, S) static-branch coefficients
+    u_m: jnp.ndarray,      # (T*2, k)
+    u_s: jnp.ndarray,      # (T*2, k)
+    ori: jnp.ndarray,      # (N, 2)
+    rot: jnp.ndarray,      # (N, 2, 2)
+    sca: jnp.ndarray,      # (N,)
+    mask_m: jnp.ndarray,   # (N,) bool
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns reconstructed trajectories (S, N, T, 2) in world coordinates."""
+    k, n, s = c_m.shape
+    t2 = u_m.shape[0]
+    n_pad = (n + LANES - 1) // LANES * LANES
+
+    def pad(x, axis):
+        width = [(0, 0)] * x.ndim
+        width[axis] = (0, n_pad - n)
+        return jnp.pad(x, width)
+
+    c_m_p = pad(jnp.transpose(c_m, (2, 0, 1)), 2).astype(jnp.float32)  # (S,k,Np)
+    c_s_p = pad(jnp.transpose(c_s, (2, 0, 1)), 2).astype(jnp.float32)
+    params = jnp.stack([
+        rot[:, 0, 0], rot[:, 0, 1], rot[:, 1, 0], rot[:, 1, 1],
+        ori[:, 0], ori[:, 1],
+        jnp.where(sca != 0, 1.0 / jnp.where(sca != 0, sca, 1.0), 0.0),
+        mask_m.astype(jnp.float32),
+    ], axis=0).astype(jnp.float32)                                      # (8, N)
+    params = pad(params, 1)
+
+    grid = (n_pad // LANES,)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((s, t2, n_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, k, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, k, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((s, t2, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(u_m.astype(jnp.float32), u_s.astype(jnp.float32), c_m_p, c_s_p, params)
+
+    out = out[:, :, :n]                                   # (S, T*2, N)
+    return jnp.transpose(out, (0, 2, 1)).reshape(s, n, t2 // 2, 2)

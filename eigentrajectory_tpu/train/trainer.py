@@ -176,10 +176,11 @@ class ETJaxTrainer:
         return fn
 
     def _scene_forward(self, params, batch_stats, obs, pred, valid, rng, aux,
-                       train: bool):
+                       train: bool, return_coefficients: bool = False):
         pf = self._predictor_fn(params, batch_stats, rng, train)
         return et_forward(self.et, pf, obs, valid, self.cfg.static_dist,
-                          pred_traj=pred, aux=aux)
+                          pred_traj=pred, aux=aux,
+                          return_coefficients=return_coefficients)
 
     # ---------------------------------------------------------- train steps
     def _build_train_step(self):
@@ -252,23 +253,63 @@ class ETJaxTrainer:
 
     def _build_eval_step(self):
         """Test metrics per scene: ADE/FDE/TCC/COL per ped (trainer.py:172-195)."""
+        use_pallas = self.cfg.use_pallas and jax.default_backend() == "tpu"
+
+        def _flat_reconstruct(coef, b, n):
+            """Flatten (B, N) ped slots and reconstruct in one fused pass."""
+            # (B, k, N, s) -> (k, B*N, s)
+            c_m = jnp.transpose(coef["c_pred_m"], (1, 0, 2, 3)).reshape(
+                self.cfg.k, b * n, self.cfg.num_samples)
+            c_s = jnp.transpose(coef["c_pred_s"], (1, 0, 2, 3)).reshape(
+                self.cfg.k, b * n, self.cfg.num_samples)
+            ori = coef["norm_ori"].reshape(b * n, 2)
+            rot = coef["norm_rot"].reshape(b * n, 2, 2)
+            sca = coef["norm_sca"].reshape(b * n)
+            mask = coef["moving_mask"].reshape(b * n)
+            if use_pallas:
+                from ..ops.pallas_recon import fused_reconstruct
+                recon = fused_reconstruct(c_m, c_s, self.et.basis_m.U_pred,
+                                          self.et.basis_s.U_pred, ori, rot,
+                                          sca, mask)
+            else:
+                from ..etspace.descriptor import reconstruct
+                from ..etspace.normalizer import NormParams
+                p = NormParams(ori=ori[:, None, :], rot=rot,
+                               sca=sca[:, None, None])
+                r_m = reconstruct(c_m, self.et.basis_m.U_pred, p, norm_sca=True)
+                r_s = reconstruct(c_s, self.et.basis_s.U_pred, p, norm_sca=False)
+                recon = jnp.where(mask[None, :, None, None], r_m, r_s)
+            s = recon.shape[0]
+            # (s, B*N, T, 2) -> (B, s, N, T, 2)
+            return jnp.transpose(
+                recon.reshape(s, b, n, self.cfg.pred_len, 2), (1, 0, 2, 3, 4))
+
         if self.batching == "sequenced":
             def eval_step(params, batch_stats, obs, pred, valid, scene_valid):
-                def one(o, g, v):
-                    out = self._scene_forward(params, batch_stats, o, None, v, None,
-                                              self._make_aux_template(o.shape[0]),
-                                              train=False)
-                    r = out["recon_traj"]
+                b, n = obs.shape[0], obs.shape[1]
+
+                def coef_fn(o, v):
+                    return self._scene_forward(
+                        params, batch_stats, o, None, v, None,
+                        self._make_aux_template(o.shape[0]), train=False,
+                        return_coefficients=True)
+
+                coef = jax.vmap(coef_fn)(obs, valid)
+                recon = _flat_reconstruct(coef, b, n)
+
+                def scene_metrics(r, g, v):
                     return (M.ade(r, g), M.fde(r, g), M.tcc(r, g), M.col(r, v))
 
-                return jax.vmap(one)(obs, pred, valid)
+                return jax.vmap(scene_metrics)(recon, pred, valid)
         else:
             def eval_step(params, batch_stats, obs, pred, valid, scene_ids):
                 aux = self._make_aux_template(obs.shape[0], scene_ids)
-                out = self._scene_forward(params, batch_stats, obs, None, valid,
-                                          None, aux, train=False)
-                r = out["recon_traj"]
-                # COL must stay within-scene: vmap over scenes via masking.
+                coef = self._scene_forward(params, batch_stats, obs, None, valid,
+                                           None, aux, train=False,
+                                           return_coefficients=True)
+                coef = jax.tree_util.tree_map(lambda x: x[None], coef)
+                r = _flat_reconstruct(coef, 1, obs.shape[0])[0]
+                # COL must stay within-scene: mask cross-scene pairs.
                 same_scene = (scene_ids[:, None] == scene_ids[None, :])
                 col = M.col_scene_masked(r, valid, same_scene)
                 return (M.ade(r, pred), M.fde(r, pred), M.tcc(r, pred), col)
