@@ -33,6 +33,11 @@ from flax import serialization
 
 from .. import metrics as M
 from ..config import ExpConfig
+
+# The reference disables TF32 for reproducibility (utils/utils.py:16-17);
+# the TPU analogue is full-f32 matmul passes. These models are tiny, so the
+# accuracy/speed trade goes to accuracy.
+jax.config.update("jax_default_matmul_precision", "highest")
 from ..data.batching import CollatedBatcher, SceneBatcher, max_collated_peds, pad_scenes
 from ..data.dataset import TrajectoryData, augment_trajectory, load_trajectory_data
 from ..etspace.facade import ETParams, calculate_parameters, et_forward
@@ -128,10 +133,41 @@ class ETJaxTrainer:
         self._train_step = None
         self._eval_step = None
 
+        # Optional data-parallel mesh (SURVEY §2c P1: the reference's 5-process
+        # embarrassing parallelism becomes one SPMD program; XLA inserts the
+        # gradient all-reduce over ICI).
+        self.mesh = None
+        if cfg.mesh_data_axis > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n_data=cfg.mesh_data_axis)
+
         if not test_mode:
             os.makedirs(self.checkpoint_dir, exist_ok=True)
             with open(os.path.join(self.checkpoint_dir, "config.pkl"), "wb") as fp:
                 pickle.dump(cfg, fp)
+
+    def _shard(self, *arrays):
+        """device_put batch arrays with the leading axis sharded over 'data'."""
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("data"))
+        return tuple(jax.device_put(a, sh) for a in arrays)
+
+    def _replicate_state(self):
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        put = lambda t: jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), t)
+        self.params = put(self.params)
+        self.batch_stats = put(self.batch_stats)
+        self.opt_state = put(self.opt_state)
+        if self.et is not None:
+            self.et = put(self.et)
 
     # ------------------------------------------------------------------ aux
     def _make_aux_template(self, n_slots: int, scene_ids=None) -> Dict[str, Any]:
@@ -326,16 +362,19 @@ class ETJaxTrainer:
 
     def train(self, epoch: int) -> float:
         if self._train_step is None:
+            self._replicate_state()
             self._train_step = self._build_train_step()
         total, count = 0.0, 0
         for batch in self._train_batches(shuffle=True, seed=self.cfg.seed + epoch):
             self.rng, step_rng = jax.random.split(self.rng)
             if self.batching == "sequenced":
-                args = (jnp.asarray(batch.obs), jnp.asarray(batch.pred),
-                        jnp.asarray(batch.ped_valid), jnp.asarray(batch.scene_valid))
+                args = self._shard(jnp.asarray(batch.obs), jnp.asarray(batch.pred),
+                                   jnp.asarray(batch.ped_valid),
+                                   jnp.asarray(batch.scene_valid))
             else:
-                args = (jnp.asarray(batch.obs), jnp.asarray(batch.pred),
-                        jnp.asarray(batch.ped_valid), jnp.asarray(batch.scene_ids))
+                args = self._shard(jnp.asarray(batch.obs), jnp.asarray(batch.pred),
+                                   jnp.asarray(batch.ped_valid),
+                                   jnp.asarray(batch.scene_ids))
             self.params, self.batch_stats, self.opt_state, loss = self._train_step(
                 self.params, self.batch_stats, self.opt_state, *args, step_rng)
             total += float(loss)
@@ -371,15 +410,33 @@ class ETJaxTrainer:
         self.log["val_loss"].append(val)
         return val
 
-    def fit(self, num_epochs: Optional[int] = None, verbose: bool = True):
-        """Training loop with best-val checkpointing (trainer.py:68-87)."""
+    def fit(self, num_epochs: Optional[int] = None, verbose: bool = True,
+            resume: bool = False, checkpoint_every: int = 0):
+        """Training loop with best-val checkpointing (trainer.py:68-87).
+
+        Beyond the reference: `resume=True` restores optimizer state, RNG, and
+        epoch counter from 'resume.msgpack' (the reference restarts crashed
+        runs from scratch, SURVEY §5); `checkpoint_every` writes that resume
+        state periodically.
+        """
         num_epochs = num_epochs or self.cfg.num_epochs
-        for epoch in range(num_epochs):
+        start_epoch = 0
+        if resume:
+            start_epoch = self.load_resume_state()
+        from ..utils.profiling import StepTimer, trace_annotation
+
+        self.epoch_timer = StepTimer()
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
-            self.train(epoch)
-            self.valid(epoch)
+            with self.epoch_timer.measure():
+                with trace_annotation(f"train_epoch_{epoch}"):
+                    self.train(epoch)
+                with trace_annotation(f"valid_epoch_{epoch}"):
+                    self.valid(epoch)
             if epoch == 0 or self.log["val_loss"][-1] < min(self.log["val_loss"][:-1]):
                 self.save_model()
+            if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                self.save_resume_state(epoch + 1)
             if verbose:
                 print(f"[{self.cfg.dataset}/{self.cfg.baseline}] epoch {epoch} "
                       f"train {self.log['train_loss'][-1]:.6f} "
@@ -438,6 +495,48 @@ class ETJaxTrainer:
             fp.write(serialization.to_bytes(self._state_dict()))
         with open(os.path.join(self.checkpoint_dir, "log.pkl"), "wb") as fp:
             pickle.dump(self.log, fp)
+
+    def save_resume_state(self, epoch: int, filename: str = "resume.msgpack"):
+        """Full training state for crash recovery (new vs reference)."""
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        state = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "et": self.et,
+            "opt_state": self.opt_state,
+            "rng": self.rng,
+            "epoch": jnp.asarray(epoch),
+        }
+        with open(os.path.join(self.checkpoint_dir, filename), "wb") as fp:
+            fp.write(serialization.to_bytes(state))
+        with open(os.path.join(self.checkpoint_dir, "log.pkl"), "wb") as fp:
+            pickle.dump(self.log, fp)
+
+    def load_resume_state(self, filename: str = "resume.msgpack") -> int:
+        """Restore full training state; returns the epoch to resume from."""
+        path = os.path.join(self.checkpoint_dir, filename)
+        if not os.path.exists(path):
+            return 0
+        template = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "et": self.et,
+            "opt_state": self.opt_state,
+            "rng": self.rng,
+            "epoch": jnp.asarray(0),
+        }
+        with open(path, "rb") as fp:
+            state = serialization.from_bytes(template, fp.read())
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        self.et = state["et"]
+        self.opt_state = state["opt_state"]
+        self.rng = state["rng"]
+        log_path = os.path.join(self.checkpoint_dir, "log.pkl")
+        if os.path.exists(log_path):
+            with open(log_path, "rb") as fp:
+                self.log = pickle.load(fp)
+        return int(state["epoch"])
 
     def load_model(self, filename: str = "model_best.msgpack"):
         path = os.path.join(self.checkpoint_dir, filename)

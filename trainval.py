@@ -20,6 +20,10 @@ def main():
                         help="evaluation mode")
     parser.add_argument("--epochs", default=None, type=int,
                         help="override number of epochs")
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="resume from resume.msgpack (full optimizer state)")
+    parser.add_argument("--ckpt_every", default=0, type=int,
+                        help="write resume state every N epochs")
     parser.add_argument("--baseline", default=None, type=str,
                         help="override baseline name")
     parser.add_argument("--dataset_dir", default=None, type=str)
@@ -37,7 +41,8 @@ def main():
 
     if not args.test:
         trainer.init_descriptor()
-        trainer.fit(num_epochs=args.epochs)
+        trainer.fit(num_epochs=args.epochs, resume=args.resume,
+                    checkpoint_every=args.ckpt_every)
         trainer.load_model()
         results = trainer.test()
     else:
