@@ -112,7 +112,12 @@ def test_forward_parity_with_reference(rng):
         np.testing.assert_allclose(float(out[ours]), float(ref_out[theirs]), atol=1e-3)
 
 
-def test_moving_mask(rng):
-    o, _ = _mixed_scene(rng, n_moving=5, n_static=5)
+def test_moving_mask():
+    # Deterministic scene: constant-velocity movers, frozen statics.
+    t = np.arange(8, dtype=np.float32)[None, :, None]
+    vel = np.array([[[2.0, 0.0]]], np.float32)
+    movers = vel * t * np.ones((5, 1, 1), np.float32) * 0.4
+    statics = np.zeros((5, 8, 2), np.float32) + np.arange(5, dtype=np.float32)[:, None, None]
+    o = np.concatenate([movers, statics])
     m = np.asarray(moving_mask(jnp.asarray(o), STATIC_DIST))
     assert m[:5].all() and not m[5:].any()
