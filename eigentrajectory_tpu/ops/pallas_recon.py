@@ -121,3 +121,142 @@ def fused_reconstruct(
 
     out = out[:, :, :n]                                   # (S, T*2, N)
     return jnp.transpose(out, (0, 2, 1)).reshape(s, n, t2 // 2, 2)
+
+
+def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
+                          out_ref, met_ref):
+    """Recon + min-of-S ADE/FDE + best-FDE-sample TCC in one tile pass.
+
+    gt_ref: (T*2, 128) ground-truth pred trajectory (x rows interleaved with y
+    rows, same layout as the output); met_ref: (8, 128) with rows
+    [ade, fde, tcc, 0...].
+    """
+    u_m = u_m_ref[:]
+    u_s = u_s_ref[:]
+    p = p_ref[:]
+    r00, r01, r10, r11 = p[0:1], p[1:2], p[2:3], p[3:4]
+    ori_x, ori_y = p[4:5], p[5:6]
+    inv_sca = p[6:7]
+    mask_m = p[7:8]
+    t2 = u_m.shape[0]
+    t = t2 // 2
+    n_samples = c_m_ref.shape[0]
+
+    gt = gt_ref[:].reshape(t, 2, LANES)
+    gx, gy = gt[:, 0], gt[:, 1]                           # (T, 128)
+
+    big = jnp.full((1, LANES), 1e30, jnp.float32)
+    zeros_t = jnp.zeros((t, LANES), jnp.float32)
+
+    def one_sample(si, carry):
+        min_ade, min_fde, best_x, best_y = carry
+        m_m = jnp.dot(u_m, c_m_ref[si], preferred_element_type=jnp.float32)
+        m_s = jnp.dot(u_s, c_s_ref[si], preferred_element_type=jnp.float32)
+
+        def denorm(m, use_sca):
+            xy = m.reshape(t, 2, LANES)
+            x, y = xy[:, 0], xy[:, 1]
+            if use_sca:
+                x, y = x * inv_sca, y * inv_sca
+            x2 = x * r00 + y * r01
+            y2 = x * r10 + y * r11
+            return x2 + ori_x, y2 + ori_y
+
+        xm, ym = denorm(m_m, True)
+        xs, ys = denorm(m_s, False)
+        x = jnp.where(mask_m > 0, xm, xs)                 # (T, 128)
+        y = jnp.where(mask_m > 0, ym, ys)
+        out_ref[si] = jnp.stack([x, y], axis=1).reshape(t2, LANES)
+
+        dist = jnp.sqrt((x - gx) ** 2 + (y - gy) ** 2)    # (T, 128)
+        ade_s = jnp.mean(dist, axis=0, keepdims=True)     # (1, 128)
+        fde_s = dist[t - 1:t]                             # (1, 128)
+        # strict < keeps the FIRST minimal sample (torch argmin tie-break)
+        better = fde_s < min_fde
+        best_x = jnp.where(better, x, best_x)
+        best_y = jnp.where(better, y, best_y)
+        return (jnp.minimum(min_ade, ade_s), jnp.where(better, fde_s, min_fde),
+                best_x, best_y)
+
+    min_ade, min_fde, best_x, best_y = jax.lax.fori_loop(
+        0, n_samples, one_sample, (big, big, zeros_t, zeros_t))
+
+    # TCC of the best-FDE sample (metrics.py:105-130): Pearson corr per
+    # coordinate between best and gt over time, averaged over x/y.
+    def corr(a, b):
+        am = a - jnp.mean(a, axis=0, keepdims=True)
+        bm = b - jnp.mean(b, axis=0, keepdims=True)
+        cov = jnp.sum(am * bm, axis=0, keepdims=True)
+        var_a = jnp.sum(am * am, axis=0, keepdims=True)
+        var_b = jnp.sum(bm * bm, axis=0, keepdims=True)
+        denom = jnp.sqrt(var_a * var_b)
+        c = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), 0.0)
+        return jnp.clip(c, -1.0, 1.0)
+
+    tcc = 0.5 * (corr(best_x, gx) + corr(best_y, gy))     # (1, 128)
+    met = jnp.concatenate(
+        [min_ade, min_fde, tcc, jnp.zeros((5, LANES), jnp.float32)], axis=0)
+    met_ref[:] = met
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_recon_metrics(
+    c_m: jnp.ndarray,      # (k, N, S)
+    c_s: jnp.ndarray,      # (k, N, S)
+    u_m: jnp.ndarray,      # (T*2, k)
+    u_s: jnp.ndarray,      # (T*2, k)
+    ori: jnp.ndarray,      # (N, 2)
+    rot: jnp.ndarray,      # (N, 2, 2)
+    sca: jnp.ndarray,      # (N,)
+    mask_m: jnp.ndarray,   # (N,) bool
+    gt: jnp.ndarray,       # (N, T, 2) ground-truth future
+    interpret: bool = False,
+):
+    """Returns (recon (S, N, T, 2), ade (N,), fde (N,), tcc (N,)) — the full
+    coefficients -> trajectories -> per-ped metrics pipeline in one kernel."""
+    k, n, s = c_m.shape
+    t2 = u_m.shape[0]
+    n_pad = (n + LANES - 1) // LANES * LANES
+
+    def pad(x, axis):
+        width = [(0, 0)] * x.ndim
+        width[axis] = (0, n_pad - n)
+        return jnp.pad(x, width)
+
+    c_m_p = pad(jnp.transpose(c_m, (2, 0, 1)), 2).astype(jnp.float32)
+    c_s_p = pad(jnp.transpose(c_s, (2, 0, 1)), 2).astype(jnp.float32)
+    params = jnp.stack([
+        rot[:, 0, 0], rot[:, 0, 1], rot[:, 1, 0], rot[:, 1, 1],
+        ori[:, 0], ori[:, 1],
+        jnp.where(sca != 0, 1.0 / jnp.where(sca != 0, sca, 1.0), 0.0),
+        mask_m.astype(jnp.float32),
+    ], axis=0).astype(jnp.float32)
+    params = pad(params, 1)
+    # (N, T, 2) -> (T*2, N) interleaved rows
+    gt_p = pad(jnp.transpose(gt.reshape(n, t2), (1, 0)).astype(jnp.float32), 1)
+
+    grid = (n_pad // LANES,)
+    out, met = pl.pallas_call(
+        _recon_metrics_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, t2, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t2, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, k, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, k, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((s, t2, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(u_m.astype(jnp.float32), u_s.astype(jnp.float32), c_m_p, c_s_p, params, gt_p)
+
+    recon = jnp.transpose(out[:, :, :n], (0, 2, 1)).reshape(s, n, t2 // 2, 2)
+    return recon, met[0, :n], met[1, :n], met[2, :n]

@@ -291,9 +291,8 @@ class ETJaxTrainer:
         """Test metrics per scene: ADE/FDE/TCC/COL per ped (trainer.py:172-195)."""
         use_pallas = self.cfg.use_pallas and jax.default_backend() == "tpu"
 
-        def _flat_reconstruct(coef, b, n):
-            """Flatten (B, N) ped slots and reconstruct in one fused pass."""
-            # (B, k, N, s) -> (k, B*N, s)
+        def _flat_coef_args(coef, b, n):
+            """Flatten per-scene coefficient outputs to one ped axis."""
             c_m = jnp.transpose(coef["c_pred_m"], (1, 0, 2, 3)).reshape(
                 self.cfg.k, b * n, self.cfg.num_samples)
             c_s = jnp.transpose(coef["c_pred_s"], (1, 0, 2, 3)).reshape(
@@ -302,23 +301,30 @@ class ETJaxTrainer:
             rot = coef["norm_rot"].reshape(b * n, 2, 2)
             sca = coef["norm_sca"].reshape(b * n)
             mask = coef["moving_mask"].reshape(b * n)
+            return c_m, c_s, ori, rot, sca, mask
+
+        def _flat_recon_metrics(coef, gt_flat, b, n):
+            """Fused coefficients -> (recon_flat (s, B*N, T, 2), ade, fde, tcc).
+
+            On TPU this is a single Pallas kernel (one HBM pass); elsewhere the
+            same math via XLA einsums.
+            """
+            c_m, c_s, ori, rot, sca, mask = _flat_coef_args(coef, b, n)
             if use_pallas:
-                from ..ops.pallas_recon import fused_reconstruct
-                recon = fused_reconstruct(c_m, c_s, self.et.basis_m.U_pred,
-                                          self.et.basis_s.U_pred, ori, rot,
-                                          sca, mask)
-            else:
-                from ..etspace.descriptor import reconstruct
-                from ..etspace.normalizer import NormParams
-                p = NormParams(ori=ori[:, None, :], rot=rot,
-                               sca=sca[:, None, None])
-                r_m = reconstruct(c_m, self.et.basis_m.U_pred, p, norm_sca=True)
-                r_s = reconstruct(c_s, self.et.basis_s.U_pred, p, norm_sca=False)
-                recon = jnp.where(mask[None, :, None, None], r_m, r_s)
-            s = recon.shape[0]
-            # (s, B*N, T, 2) -> (B, s, N, T, 2)
-            return jnp.transpose(
-                recon.reshape(s, b, n, self.cfg.pred_len, 2), (1, 0, 2, 3, 4))
+                from ..ops.pallas_recon import fused_recon_metrics
+
+                return fused_recon_metrics(
+                    c_m, c_s, self.et.basis_m.U_pred, self.et.basis_s.U_pred,
+                    ori, rot, sca, mask, gt_flat)
+            from ..etspace.descriptor import reconstruct
+            from ..etspace.normalizer import NormParams
+
+            p = NormParams(ori=ori[:, None, :], rot=rot, sca=sca[:, None, None])
+            r_m = reconstruct(c_m, self.et.basis_m.U_pred, p, norm_sca=True)
+            r_s = reconstruct(c_s, self.et.basis_s.U_pred, p, norm_sca=False)
+            recon = jnp.where(mask[None, :, None, None], r_m, r_s)
+            return (recon, M.ade(recon, gt_flat), M.fde(recon, gt_flat),
+                    M.tcc(recon, gt_flat))
 
         if self.batching == "sequenced":
             def eval_step(params, batch_stats, obs, pred, valid, scene_valid):
@@ -331,12 +337,15 @@ class ETJaxTrainer:
                         return_coefficients=True)
 
                 coef = jax.vmap(coef_fn)(obs, valid)
-                recon = _flat_reconstruct(coef, b, n)
-
-                def scene_metrics(r, g, v):
-                    return (M.ade(r, g), M.fde(r, g), M.tcc(r, g), M.col(r, v))
-
-                return jax.vmap(scene_metrics)(recon, pred, valid)
+                gt_flat = pred.reshape(b * n, self.cfg.pred_len, 2)
+                recon_flat, ade, fde, tcc = _flat_recon_metrics(coef, gt_flat, b, n)
+                s = recon_flat.shape[0]
+                recon = jnp.transpose(
+                    recon_flat.reshape(s, b, n, self.cfg.pred_len, 2),
+                    (1, 0, 2, 3, 4))
+                cols = jax.vmap(M.col)(recon, valid)
+                return (ade.reshape(b, n), fde.reshape(b, n),
+                        tcc.reshape(b, n), cols)
         else:
             def eval_step(params, batch_stats, obs, pred, valid, scene_ids):
                 aux = self._make_aux_template(obs.shape[0], scene_ids)
@@ -344,11 +353,12 @@ class ETJaxTrainer:
                                            None, aux, train=False,
                                            return_coefficients=True)
                 coef = jax.tree_util.tree_map(lambda x: x[None], coef)
-                r = _flat_reconstruct(coef, 1, obs.shape[0])[0]
+                recon_flat, ade, fde, tcc = _flat_recon_metrics(
+                    coef, pred, 1, obs.shape[0])
                 # COL must stay within-scene: mask cross-scene pairs.
                 same_scene = (scene_ids[:, None] == scene_ids[None, :])
-                col = M.col_scene_masked(r, valid, same_scene)
-                return (M.ade(r, pred), M.fde(r, pred), M.tcc(r, pred), col)
+                col = M.col_scene_masked(recon_flat, valid, same_scene)
+                return (ade, fde, tcc, col)
 
         return jax.jit(eval_step)
 
