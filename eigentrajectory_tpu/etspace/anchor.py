@@ -103,6 +103,12 @@ def kmeans_fit(
     return centers[best]
 
 
+@jax.jit
+def kmeans_predict(centers: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Assign points (N, d) to nearest centers (S, d) -> labels (N,)."""
+    return jnp.argmin(_pairwise_sq_dist(x, centers), axis=1)
+
+
 def generate_anchors(
     key: jax.Array,
     pred_traj_norm: jnp.ndarray,

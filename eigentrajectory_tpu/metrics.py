@@ -80,6 +80,12 @@ def col(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(collided.astype(pred.dtype), axis=0) * 100.0
 
 
+def compute_all(pred: jnp.ndarray, gt: jnp.ndarray, valid: jnp.ndarray):
+    """All four metrics in one call (reference's fused compute_batch_metric,
+    metrics.py:30-70). Returns (ade, fde, tcc, col), each (N,)."""
+    return ade(pred, gt), fde(pred, gt), tcc(pred, gt), col(pred, valid)
+
+
 def col_scene_masked(
     pred: jnp.ndarray, valid: jnp.ndarray, same_scene: jnp.ndarray
 ) -> jnp.ndarray:

@@ -1,0 +1,77 @@
+"""Experiment sweep runner: train/evaluate a grid of (baseline, dataset) pairs
+sequentially on one chip and emit a Table-2-style results table.
+
+The reference fans out five OS processes pinned to five GPUs
+(script/train.sh:51-59); on TPU a sweep is a single process reusing one
+device, with per-experiment compiled steps.
+
+Usage:
+  python scripts/sweep.py --baselines stgcnn sgcn --datasets hotel zara1 \
+      --tag sweep1 [--test-only] [--epochs N] [--out results.json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eigentrajectory_tpu.config import load_config
+from eigentrajectory_tpu.train.trainer import ETJaxTrainer
+
+
+def run_one(baseline: str, dataset: str, tag: str, epochs, test_only: bool,
+            config_dir: str):
+    cfg = load_config(os.path.join(config_dir, f"eigentrajectory-{baseline}-{dataset}.json"))
+    t0 = time.time()
+    tr = ETJaxTrainer(cfg, tag=tag, test_mode=test_only)
+    if test_only:
+        tr.load_model()
+    else:
+        tr.init_descriptor()
+        tr.fit(num_epochs=epochs)
+        tr.load_model()
+    results = tr.test()
+    results["wall_s"] = round(time.time() - t0, 1)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baselines", nargs="+", default=["stgcnn"])
+    ap.add_argument("--datasets", nargs="+",
+                    default=["eth", "hotel", "univ", "zara1", "zara2"])
+    ap.add_argument("--tag", default="sweep")
+    ap.add_argument("--config_dir", default="./configs")
+    ap.add_argument("--epochs", default=None, type=int)
+    ap.add_argument("--test-only", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    table = {}
+    for b in args.baselines:
+        for d in args.datasets:
+            print(f"=== {b} / {d} ===", flush=True)
+            try:
+                table[f"{b}/{d}"] = run_one(b, d, args.tag, args.epochs,
+                                            args.test_only, args.config_dir)
+            except Exception as e:  # keep sweeping
+                table[f"{b}/{d}"] = {"error": str(e)}
+            print(f"{b}/{d}: {table[f'{b}/{d}']}", flush=True)
+
+    print("\n| experiment | ADE | FDE | TCC | COL% |")
+    print("|---|---|---|---|---|")
+    for k, v in table.items():
+        if "error" in v:
+            print(f"| {k} | error: {v['error'][:40]} | | | |")
+        else:
+            print(f"| {k} | {v['ADE']:.4f} | {v['FDE']:.4f} "
+                  f"| {v['TCC']:.4f} | {v['COL']:.2f} |")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
