@@ -130,6 +130,12 @@ def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
     gt_ref: (T*2, 128) ground-truth pred trajectory (x rows interleaved with y
     rows, same layout as the output); met_ref: (8, 128) with rows
     [ade, fde, tcc, 0...].
+
+    Mosaic cannot reduce over a sublane dimension whose layout carries offsets
+    (which strided row slices like `m.reshape(t,2,L)[:, 0]` produce), so every
+    even/odd-row selection and every time reduction here is a small constant
+    matmul on the MXU instead — selection matrices pick x/y rows and
+    ones-rows compute sums/means; elementwise ops stay on the VPU.
     """
     u_m = u_m_ref[:]
     u_s = u_s_ref[:]
@@ -142,20 +148,33 @@ def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
     t = t2 // 2
     n_samples = c_m_ref.shape[0]
 
-    gt = gt_ref[:].reshape(t, 2, LANES)
-    gx, gy = gt[:, 0], gt[:, 1]                           # (T, 128)
+    # Constant selection / reduction matrices (materialized as MXU operands;
+    # TPU iota must be integer-typed).
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (t, t2), 0)
+    cols_t2 = jax.lax.broadcasted_iota(jnp.int32, (t, t2), 1)
+    sel_x = (cols_t2 == 2 * rows_t).astype(jnp.float32)          # (t, t2)
+    sel_y = (cols_t2 == 2 * rows_t + 1).astype(jnp.float32)
+    mean_row = jnp.full((1, t), 1.0 / t, jnp.float32)
+    sum_row = jnp.ones((1, t), jnp.float32)
+    last_row = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+                == (t - 1)).astype(jnp.float32)
+
+    def dotf(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    gx = dotf(sel_x, gt_ref[:])                            # (T, 128)
+    gy = dotf(sel_y, gt_ref[:])
 
     big = jnp.full((1, LANES), 1e30, jnp.float32)
     zeros_t = jnp.zeros((t, LANES), jnp.float32)
 
     def one_sample(si, carry):
         min_ade, min_fde, best_x, best_y = carry
-        m_m = jnp.dot(u_m, c_m_ref[si], preferred_element_type=jnp.float32)
-        m_s = jnp.dot(u_s, c_s_ref[si], preferred_element_type=jnp.float32)
+        m_m = dotf(u_m, c_m_ref[si])
+        m_s = dotf(u_s, c_s_ref[si])
 
         def denorm(m, use_sca):
-            xy = m.reshape(t, 2, LANES)
-            x, y = xy[:, 0], xy[:, 1]
+            x, y = dotf(sel_x, m), dotf(sel_y, m)          # (T, 128) clean
             if use_sca:
                 x, y = x * inv_sca, y * inv_sca
             x2 = x * r00 + y * r01
@@ -169,8 +188,8 @@ def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
         out_ref[si] = jnp.stack([x, y], axis=1).reshape(t2, LANES)
 
         dist = jnp.sqrt((x - gx) ** 2 + (y - gy) ** 2)    # (T, 128)
-        ade_s = jnp.mean(dist, axis=0, keepdims=True)     # (1, 128)
-        fde_s = dist[t - 1:t]                             # (1, 128)
+        ade_s = dotf(mean_row, dist)                       # (1, 128)
+        fde_s = dotf(last_row, dist)
         # strict < keeps the FIRST minimal sample (torch argmin tie-break)
         better = fde_s < min_fde
         best_x = jnp.where(better, x, best_x)
@@ -184,11 +203,11 @@ def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
     # TCC of the best-FDE sample (metrics.py:105-130): Pearson corr per
     # coordinate between best and gt over time, averaged over x/y.
     def corr(a, b):
-        am = a - jnp.mean(a, axis=0, keepdims=True)
-        bm = b - jnp.mean(b, axis=0, keepdims=True)
-        cov = jnp.sum(am * bm, axis=0, keepdims=True)
-        var_a = jnp.sum(am * am, axis=0, keepdims=True)
-        var_b = jnp.sum(bm * bm, axis=0, keepdims=True)
+        am = a - dotf(mean_row, a)
+        bm = b - dotf(mean_row, b)
+        cov = dotf(sum_row, am * bm)
+        var_a = dotf(sum_row, am * am)
+        var_b = dotf(sum_row, bm * bm)
         denom = jnp.sqrt(var_a * var_b)
         c = jnp.where(denom > 0, cov / jnp.where(denom > 0, denom, 1.0), 0.0)
         return jnp.clip(c, -1.0, 1.0)
