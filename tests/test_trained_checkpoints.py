@@ -9,23 +9,23 @@ from eigentrajectory_tpu.config import load_config
 from eigentrajectory_tpu.train.trainer import ETJaxTrainer
 
 CASES = [
-    # (baseline, dataset, max ADE, max FDE) — trained values +~0.005 slack
-    ("stgcnn", "hotel", 0.140, 0.225),
-    ("sgcn", "zara1", 0.212, 0.372),
-    ("pecnet", "univ", 0.256, 0.456),
+    # (tag, baseline, dataset, max ADE, max FDE) — trained values + slack
+    ("parity", "stgcnn", "hotel", 0.140, 0.225),
+    ("parity", "sgcn", "zara1", 0.212, 0.372),
+    ("parity", "pecnet", "univ", 0.256, 0.456),
 ]
 
 
-@pytest.mark.parametrize("baseline,dataset,max_ade,max_fde", CASES)
-def test_trained_checkpoint_quality(baseline, dataset, max_ade, max_fde):
-    ckpt = f"checkpoints/parity/{dataset}/model_best.msgpack"
+@pytest.mark.parametrize("tag,baseline,dataset,max_ade,max_fde", CASES)
+def test_trained_checkpoint_quality(tag, baseline, dataset, max_ade, max_fde):
+    ckpt = f"checkpoints/{tag}/{dataset}/model_best.msgpack"
     cfg_path = f"configs/eigentrajectory-{baseline}-{dataset}.json"
     if not (os.path.exists(ckpt) and os.path.exists(cfg_path)):
         pytest.skip("trained checkpoint not available")
     cfg = load_config(cfg_path, checkpoint_dir="./checkpoints")
     if not os.path.isdir(os.path.join(cfg.dataset_dir, dataset)):
         pytest.skip("datasets not available")
-    tr = ETJaxTrainer(cfg, tag="parity", test_mode=True)
+    tr = ETJaxTrainer(cfg, tag=tag, test_mode=True)
     tr.load_model()
     results = tr.test()
     assert results["ADE"] < max_ade, results
