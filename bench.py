@@ -16,7 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DATASET = "hotel"
 BASELINE_MODEL = "stgcnn"
-EVAL_BATCH = 64
+# One dispatch for the whole test split (301 scenes on hotel): latency to the
+# tunneled chip dominates at these tensor sizes, so fewer dispatches = faster.
+EVAL_BATCH = 320
 
 
 def main():
