@@ -8,7 +8,7 @@ einsums batched over peds and samples, which XLA fuses onto the MXU.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ Semantics (normalizer.py:17-62):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ internally. One compiled shape per (max_peds) bucket.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

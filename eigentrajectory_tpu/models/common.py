@@ -9,7 +9,7 @@ polluting statistics (padding discipline, SURVEY §7 hard part 1).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

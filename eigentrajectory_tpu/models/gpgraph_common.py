@@ -18,13 +18,13 @@ trailing invalid singleton groups.
 """
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import PReLU, TorchConv2d, zero_invalid
+from .common import PReLU, TorchConv2d
 
 
 def find_group_indices(dist_mat: jnp.ndarray, th: jnp.ndarray, valid: jnp.ndarray):

@@ -14,7 +14,7 @@ keeps peds on the batch axis and needs no masking).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

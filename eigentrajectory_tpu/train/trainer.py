@@ -19,11 +19,10 @@ grads are zeroed via optax.zero_nans().
 """
 from __future__ import annotations
 
-import functools
 import os
 import pickle
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +37,8 @@ from ..config import ExpConfig
 # the TPU analogue is full-f32 matmul passes. These models are tiny, so the
 # accuracy/speed trade goes to accuracy.
 jax.config.update("jax_default_matmul_precision", "highest")
-from ..data.batching import CollatedBatcher, SceneBatcher, max_collated_peds, pad_scenes
-from ..data.dataset import TrajectoryData, augment_trajectory, load_trajectory_data
+from ..data.batching import CollatedBatcher, SceneBatcher, max_collated_peds
+from ..data.dataset import augment_trajectory, load_trajectory_data
 from ..etspace.facade import ETParams, calculate_parameters, et_forward
 from ..models import get_baseline
 
