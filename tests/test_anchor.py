@@ -13,17 +13,19 @@ def _blobs(rng, n_clusters=20, per=100, d=6, spread=0.1):
     return pts.reshape(-1, d).astype(np.float32), centers
 
 
-def test_kmeans_recovers_blobs(rng):
-    x, true_centers = _blobs(rng)
+def test_kmeans_recovers_blobs():
+    x, true_centers = _blobs(np.random.default_rng(7))
     centers = np.asarray(kmeans_fit(jax.random.PRNGKey(0), jnp.asarray(x), 20))
     # every true center has a fitted center nearby
     d = np.linalg.norm(true_centers[:, None] - centers[None], axis=-1)
     assert d.min(axis=1).max() < 0.5
 
 
-def test_kmeans_inertia_close_to_sklearn(rng):
+def test_kmeans_inertia_close_to_sklearn():
     sklearn_cluster = pytest.importorskip("sklearn.cluster")
-    x, _ = _blobs(rng, spread=1.0)
+    # Dedicated rng: the shared session fixture's state depends on test
+    # ordering, which made this comparison flaky.
+    x, _ = _blobs(np.random.default_rng(42), spread=1.0)
     ref = sklearn_cluster.KMeans(n_clusters=20, random_state=0, init="k-means++", n_init=10).fit(x)
     centers = np.asarray(kmeans_fit(jax.random.PRNGKey(0), jnp.asarray(x), 20))
 
