@@ -124,7 +124,7 @@ def fused_reconstruct(
 
 
 def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
-                          out_ref, met_ref):
+                          sel_ref, red_ref, out_ref, met_ref):
     """Recon + min-of-S ADE/FDE + best-FDE-sample TCC in one tile pass.
 
     gt_ref: (T*2, 128) ground-truth pred trajectory (x rows interleaved with y
@@ -135,7 +135,10 @@ def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
     (which strided row slices like `m.reshape(t,2,L)[:, 0]` produce), so every
     even/odd-row selection and every time reduction here is a small constant
     matmul on the MXU instead — selection matrices pick x/y rows and
-    ones-rows compute sums/means; elementwise ops stay on the VPU.
+    ones-rows compute sums/means; elementwise ops stay on the VPU. The
+    constant matrices arrive as kernel operands (sel_ref (2t, t2): stacked
+    [sel_x; sel_y]; red_ref (8, t): rows [mean, sum, last, 0...]) because
+    Mosaic folds in-kernel iota+cast into an unsupported float iota.
     """
     u_m = u_m_ref[:]
     u_s = u_s_ref[:]
@@ -148,16 +151,11 @@ def _recon_metrics_kernel(u_m_ref, u_s_ref, c_m_ref, c_s_ref, p_ref, gt_ref,
     t = t2 // 2
     n_samples = c_m_ref.shape[0]
 
-    # Constant selection / reduction matrices (materialized as MXU operands;
-    # TPU iota must be integer-typed).
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (t, t2), 0)
-    cols_t2 = jax.lax.broadcasted_iota(jnp.int32, (t, t2), 1)
-    sel_x = (cols_t2 == 2 * rows_t).astype(jnp.float32)          # (t, t2)
-    sel_y = (cols_t2 == 2 * rows_t + 1).astype(jnp.float32)
-    mean_row = jnp.full((1, t), 1.0 / t, jnp.float32)
-    sum_row = jnp.ones((1, t), jnp.float32)
-    last_row = (jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
-                == (t - 1)).astype(jnp.float32)
+    sel_x = sel_ref[:t]                                    # (t, t2)
+    sel_y = sel_ref[t:]
+    mean_row = red_ref[0:1]                                # (1, t)
+    sum_row = red_ref[1:2]
+    last_row = red_ref[2:3]
 
     def dotf(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
@@ -254,6 +252,18 @@ def fused_recon_metrics(
     # (N, T, 2) -> (T*2, N) interleaved rows
     gt_p = pad(jnp.transpose(gt.reshape(n, t2), (1, 0)).astype(jnp.float32), 1)
 
+    # Host-built constant matrices (see kernel docstring).
+    import numpy as onp
+
+    t = t2 // 2
+    sel = onp.zeros((2 * t, t2), onp.float32)
+    sel[onp.arange(t), 2 * onp.arange(t)] = 1.0           # sel_x
+    sel[t + onp.arange(t), 2 * onp.arange(t) + 1] = 1.0   # sel_y
+    red = onp.zeros((8, t), onp.float32)
+    red[0] = 1.0 / t                                       # mean row
+    red[1] = 1.0                                           # sum row
+    red[2, t - 1] = 1.0                                    # last-step row
+
     grid = (n_pad // LANES,)
     out, met = pl.pallas_call(
         _recon_metrics_kernel,
@@ -269,13 +279,16 @@ def fused_recon_metrics(
             pl.BlockSpec((s, k, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((t2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * t, t2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((s, t2, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(u_m.astype(jnp.float32), u_s.astype(jnp.float32), c_m_p, c_s_p, params, gt_p)
+    )(u_m.astype(jnp.float32), u_s.astype(jnp.float32), c_m_p, c_s_p, params,
+      gt_p, jnp.asarray(sel), jnp.asarray(red))
 
     recon = jnp.transpose(out[:, :, :n], (0, 2, 1)).reshape(s, n, t2 // 2, 2)
     return recon, met[0, :n], met[1, :n], met[2, :n]
