@@ -64,6 +64,9 @@ class ExpConfig:
     n_max_peds: Optional[int] = None   # pad target; inferred from data if None
     mesh_data_axis: int = 1            # data-parallel shard count (1 = single chip)
     use_pallas: bool = True            # fused Pallas reconstruction/metrics path
+    micro_batches: int = 1             # split sequenced batches into M chunks with
+                                       # host-side grad accumulation (identical math,
+                                       # 1/M the compiled graph — for XL predictors)
 
     # Free-form per-baseline overrides (subsumes optimal.yaml etc.).
     baseline_config: Dict[str, Any] = dataclasses.field(default_factory=dict)

@@ -222,8 +222,15 @@ class ETJaxTrainer:
         cfg = self.cfg
 
         if self.batching == "sequenced":
-            def train_step(params, batch_stats, opt_state, obs, pred, valid,
-                           scene_valid, rng):
+            def batched_grads(params, batch_stats, obs, pred, valid,
+                              scene_valid, rng):
+                """Loss + grads + batch-stat average for one chunk of scenes.
+
+                Losses are divided by the FULL cfg.batch_size, so summing the
+                grads of cfg.micro_batches chunks reproduces the whole-batch
+                step exactly (host-side micro-batching shrinks the compiled
+                graph ~M-fold for XL predictors whose B=128 graph overwhelms
+                the XLA compiler, e.g. GP-Graph-SGCN)."""
                 def batched_loss(p):
                     def one(o, g, v, r):
                         out = self._scene_forward(p, batch_stats, o, g, v, r,
@@ -239,9 +246,54 @@ class ETJaxTrainer:
                     w = scene_valid.astype(losses.dtype)
                     losses = jnp.nan_to_num(losses, nan=0.0, posinf=0.0, neginf=0.0) * w
                     total = losses.sum() / cfg.batch_size
-                    return total, _tree_weighted_mean(new_bs, w)
+                    return total, (_tree_weighted_mean(new_bs, w), w.sum())
 
-                (loss, new_bs), grads = jax.value_and_grad(batched_loss, has_aux=True)(params)
+                (loss, (bs_avg, n_valid)), grads = jax.value_and_grad(
+                    batched_loss, has_aux=True)(params)
+                return loss, grads, bs_avg, n_valid
+
+            if cfg.micro_batches > 1:
+                assert cfg.batch_size % cfg.micro_batches == 0, (
+                    "batch_size must be divisible by micro_batches")
+                grad_fn = jax.jit(batched_grads)
+
+                def apply_fn(params, opt_state, grads):
+                    updates, opt_state2 = self.tx.update(grads, opt_state, params)
+                    return optax.apply_updates(params, updates), opt_state2
+
+                apply_jit = jax.jit(apply_fn, donate_argnums=(0, 1))
+                m = cfg.micro_batches
+
+                def micro_train_step(params, batch_stats, opt_state, obs, pred,
+                                     valid, scene_valid, rng):
+                    chunk = obs.shape[0] // m
+                    total_loss = 0.0
+                    grads_acc = None
+                    bs_list, w_list = [], []
+                    rngs = jax.random.split(rng, m)
+                    for i in range(m):
+                        sl = slice(i * chunk, (i + 1) * chunk)
+                        loss, grads, bs_avg, n_valid = grad_fn(
+                            params, batch_stats, obs[sl], pred[sl], valid[sl],
+                            scene_valid[sl], rngs[i])
+                        total_loss += loss
+                        grads_acc = grads if grads_acc is None else \
+                            jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                        bs_list.append(bs_avg)
+                        w_list.append(n_valid)
+                    params2, opt_state2 = apply_jit(params, opt_state, grads_acc)
+                    w = jnp.stack(w_list)
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *bs_list)
+                    new_bs = _tree_weighted_mean(stacked, w)
+                    return params2, new_bs, opt_state2, total_loss
+
+                return micro_train_step
+
+            def train_step(params, batch_stats, opt_state, obs, pred, valid,
+                           scene_valid, rng):
+                loss, grads, new_bs, _ = batched_grads(
+                    params, batch_stats, obs, pred, valid, scene_valid, rng)
                 updates, opt_state2 = self.tx.update(grads, opt_state, params)
                 params2 = optax.apply_updates(params, updates)
                 return params2, new_bs, opt_state2, loss
