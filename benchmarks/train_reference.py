@@ -1,0 +1,121 @@
+"""Train + evaluate the UPSTREAM reference (torch, CPU) to produce *measured*
+parity targets for BASELINE.json `published`.
+
+The reference's released pretrained checkpoints are network-blocked in this
+environment (zero egress), so per VERDICT.md task 2 we train the reference
+itself with its own code and hyper-parameters (/root/reference/utils/trainer.py)
+and record the resulting min-of-20 ADE/FDE/TCC/COL. torch here is CPU-only, so
+`.cuda()` is monkeypatched to a no-op; results are hardware-independent up to
+RNG (the reference itself fixes seed 0 + deterministic cudnn).
+
+Usage:
+  python benchmarks/train_reference.py --baseline stgcnn --dataset hotel \
+      [--epochs 256] [--out benchmarks/reference_measured.json]
+
+Writes/updates a JSON dict keyed "{baseline}-{dataset}" with the final test
+metrics and the best-val epoch, and leaves the reference checkpoint under
+/tmp/ref_checkpoints (the reference tree itself is read-only).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+REFERENCE = "/root/reference"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", required=True)
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override num_epochs (default: reference config value)")
+    ap.add_argument("--tag", default="ref-measured")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "reference_measured.json")
+    out_path = os.path.abspath(out_path)
+
+    sys.path.insert(0, REFERENCE)
+    # The reference writes checkpoints relative to CWD; run from a scratch dir
+    # so we never write into the read-only reference tree.
+    workdir = "/tmp/ref_train"
+    os.makedirs(workdir, exist_ok=True)
+    os.chdir(workdir)
+    if not os.path.islink(os.path.join(workdir, "datasets")):
+        os.symlink(os.path.join(REFERENCE, "datasets"),
+                   os.path.join(workdir, "datasets"))
+
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    # Some baselines hardcode device='cuda' in factory calls
+    # (e.g. baseline/sgcn/model.py:53); remap those to CPU too.
+    _zeros_like = torch.zeros_like
+
+    def _zeros_like_cpu(x, *a, **k):
+        if str(k.get("device")) == "cuda":
+            k["device"] = "cpu"
+        return _zeros_like(x, *a, **k)
+
+    torch.zeros_like = _zeros_like_cpu
+    torch.cuda.manual_seed_all = lambda *a, **k: None
+
+    import baseline as ref_baseline
+    from EigenTrajectory import EigenTrajectory
+    from utils import trainer as ref_trainer
+    from utils.utils import DotDict, get_exp_config
+
+    cfg_path = f"{REFERENCE}/config/eigentrajectory-{{baseline}}-{args.dataset}.json"
+    hp = get_exp_config(cfg_path)
+    hp.baseline = args.baseline
+    hp.dataset_dir = os.path.join(REFERENCE, "datasets") + "/"
+    if args.epochs is not None:
+        hp.num_epochs = args.epochs
+
+    bmod = getattr(ref_baseline, args.baseline)
+    hooks = DotDict({
+        "model_forward_pre_hook": bmod.model_forward_pre_hook,
+        "model_forward": bmod.model_forward,
+        "model_forward_post_hook": bmod.model_forward_post_hook,
+    })
+    trainer_names = [s for s in ref_trainer.__dict__.keys()
+                     if args.baseline in s.lower()]
+    trainer_cls = getattr(ref_trainer, trainer_names[0])
+    targs = DotDict({"tag": args.tag, "test": False})
+    tr = trainer_cls(base_model=bmod.TrajectoryPredictor, model=EigenTrajectory,
+                     hook_func=hooks, args=targs, hyper_params=hp)
+    tr.init_descriptor()
+
+    t0 = time.perf_counter()
+    tr.fit()
+    train_s = time.perf_counter() - t0
+
+    tr.load_model()
+    metrics = tr.test()
+    print("test metrics:", metrics)
+
+    entry = {
+        "baseline": args.baseline,
+        "dataset": args.dataset,
+        "num_epochs": hp.num_epochs,
+        "metrics": {k: float(v) for k, v in metrics.items()},
+        "train_seconds": round(train_s, 1),
+        "hardware": "torch-cpu (reference code, .cuda() no-op, seed 0)",
+    }
+    data = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            data = json.load(f)
+    data[f"{args.baseline}-{args.dataset}"] = entry
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+    print(json.dumps(entry))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,12 @@ device, with per-experiment compiled steps.
 Usage:
   python scripts/sweep.py --baselines stgcnn sgcn --datasets hotel zara1 \
       --tag sweep1 [--test-only] [--epochs N] [--out results.json]
+  python scripts/sweep.py --cells stgcnn:eth implicit:univ --tag t2 --out r.json
+
+With --out, results are written incrementally after every cell and cells
+already present in the file are skipped, so a crashed sweep resumes where it
+left off. Checkpoints land under <tag>-<baseline>/<dataset> so baselines
+sharing a tag never overwrite each other.
 """
 import argparse
 import json
@@ -47,18 +53,40 @@ def main():
     ap.add_argument("--epochs", default=None, type=int)
     ap.add_argument("--test-only", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cells", nargs="+", default=None,
+                    help="explicit baseline:dataset pairs (overrides the grid)")
     args = ap.parse_args()
 
+    if args.cells:
+        cells = [tuple(c.split(":")) for c in args.cells]
+    else:
+        cells = [(b, d) for b in args.baselines for d in args.datasets]
+
     table = {}
-    for b in args.baselines:
-        for d in args.datasets:
-            print(f"=== {b} / {d} ===", flush=True)
-            try:
-                table[f"{b}/{d}"] = run_one(b, d, args.tag, args.epochs,
-                                            args.test_only, args.config_dir)
-            except Exception as e:  # keep sweeping
-                table[f"{b}/{d}"] = {"error": str(e)}
-            print(f"{b}/{d}: {table[f'{b}/{d}']}", flush=True)
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            table = json.load(f)
+
+    def flush_out():
+        if args.out:
+            tmp = args.out + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(table, f, indent=2)
+            os.replace(tmp, args.out)
+
+    for b, d in cells:
+        key = f"{b}/{d}"
+        if key in table and "error" not in table[key]:
+            print(f"=== {key} already done, skipping ===", flush=True)
+            continue
+        print(f"=== {b} / {d} ===", flush=True)
+        try:
+            table[key] = run_one(b, d, f"{args.tag}-{b}", args.epochs,
+                                 args.test_only, args.config_dir)
+        except Exception as e:  # keep sweeping
+            table[key] = {"error": str(e)}
+        print(f"{key}: {table[key]}", flush=True)
+        flush_out()
 
     print("\n| experiment | ADE | FDE | TCC | COL% |")
     print("|---|---|---|---|---|")
