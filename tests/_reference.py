@@ -26,3 +26,24 @@ def reference_module(name: str):
         return importlib.import_module(name)
     except Exception as e:  # pragma: no cover
         pytest.skip(f"reference import failed: {e}")
+
+
+def patch_torch_cpu():
+    """Make the reference's CUDA-hardcoded modules run on CPU torch:
+    no-op .cuda() moves and remap hardcoded device='cuda' factory calls
+    (baseline/sgcn/model.py:53-54)."""
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    if not getattr(torch.zeros_like, "_cpu_patched", False):
+        _zeros_like = torch.zeros_like
+
+        def _zeros_like_cpu(x, *a, **k):
+            if str(k.get("device")) == "cuda":
+                k["device"] = "cpu"
+            return _zeros_like(x, *a, **k)
+
+        _zeros_like_cpu._cpu_patched = True
+        torch.zeros_like = _zeros_like_cpu
+    return torch
