@@ -222,3 +222,176 @@ def test_implicit_weight_injection_full_forward_parity(rng):
 
     ours = np.asarray(implicit.finalize(model.apply(variables, *inputs, train=False), aux))
     np.testing.assert_allclose(ours, ref_pred, atol=1e-4)
+
+
+def _cp_factory(torch):
+    def cp(t, arr):
+        with torch.no_grad():
+            t.copy_(torch.from_numpy(np.asarray(arr).copy()))
+    return cp
+
+
+def _copy_sgcn_trajectory_model(torch, ref, p):
+    """Copy our SGCNTrajectoryModel params into a reference TrajectoryModel
+    (same layout for baseline/sgcn/model.py and the GP-Graph reformatted copy
+    in baseline/gpgraphsgcn/model_baseline.py)."""
+    cp = _cp_factory(torch)
+
+    def cp_linear(tmod, q):
+        cp(tmod.weight, q["kernel"].T)
+        if tmod.bias is not None and "bias" in q:
+            cp(tmod.bias, q["bias"])
+
+    adj = p["sparse_adjacency"]
+    swa = ref.sparse_weighted_adjacency_matrices
+    for name, tattn in (("spatial_attention", swa.spatial_attention),
+                        ("temporal_attention", swa.temporal_attention)):
+        q = adj[name]
+        cp_linear(tattn.embedding, q["embedding"])
+        cp_linear(tattn.query, q["query"])
+        cp_linear(tattn.key, q["key"])
+    cp(swa.spa_fusion.conv[0].weight, adj["spa_fusion_conv"]["kernel"])
+    cp(swa.spa_fusion.conv[0].bias, adj["spa_fusion_conv"]["bias"])
+    cp(swa.spa_fusion.conv[1].weight, adj["spa_fusion_prelu"]["alpha"])
+    im = adj["interaction_mask"]
+    for j in range(7):
+        for stream, tconvs in (("spatial", swa.interaction_mask.spatial_asymmetric_convolutions),
+                               ("temporal", swa.interaction_mask.temporal_asymmetric_convolutions)):
+            q = im[f"{stream}_{j}"]
+            cp(tconvs[j].conv1.weight, q["conv1"]["kernel"])
+            cp(tconvs[j].conv2.weight, q["conv2"]["kernel"])
+            cp(tconvs[j].conv2.bias, q["conv2"]["bias"])
+            cp(tconvs[j].activation.weight, q["activation"]["alpha"])
+
+    st = p["stsgcn"]
+    for ours_name, tmods in (("st_gcn", ref.stsgcn.spatial_temporal_sparse_gcn),
+                             ("ts_gcn", ref.stsgcn.temporal_spatial_sparse_gcn)):
+        for i in range(2):
+            q = st[f"{ours_name}_{i}"]
+            cp_linear(tmods[i].embedding, q["embedding"])
+            cp(tmods[i].activation.weight, q["activation"]["alpha"])
+
+    cp(ref.fusion_.weight, p["fusion"]["kernel"])
+    for j in range(5):
+        cp(ref.tcns[j][0].weight, p[f"tcn_{j}"]["kernel"])
+        cp(ref.tcns[j][0].bias, p[f"tcn_{j}"]["bias"])
+        cp(ref.tcns[j][1].weight, p[f"tcn_prelu_{j}"]["alpha"])
+    cp_linear(ref.output, p["output"])
+
+
+def _copy_stgcnn_model(torch, ref, p):
+    """Copy our SocialSTGCNN params into a reference social_stgcnn (same layout
+    for baseline/stgcnn/model.py and gpgraphstgcnn/model_baseline.py)."""
+    cp = _cp_factory(torch)
+    g = p["st_gcn_0"]
+    cp(ref.st_gcns[0].gcn.conv.weight, g["gcn_conv"]["kernel"])
+    cp(ref.st_gcns[0].gcn.conv.bias, g["gcn_conv"]["bias"])
+    cp(ref.st_gcns[0].tcn[0].weight, g["tcn_bn1"]["scale"])
+    cp(ref.st_gcns[0].tcn[0].bias, g["tcn_bn1"]["bias"])
+    cp(ref.st_gcns[0].tcn[1].weight, g["tcn_prelu"]["alpha"])
+    cp(ref.st_gcns[0].tcn[2].weight, g["tcn_conv"]["kernel"])
+    cp(ref.st_gcns[0].tcn[2].bias, g["tcn_conv"]["bias"])
+    cp(ref.st_gcns[0].tcn[3].weight, g["tcn_bn2"]["scale"])
+    cp(ref.st_gcns[0].tcn[3].bias, g["tcn_bn2"]["bias"])
+    cp(ref.st_gcns[0].residual[0].weight, g["res_conv"]["kernel"])
+    cp(ref.st_gcns[0].residual[0].bias, g["res_conv"]["bias"])
+    cp(ref.st_gcns[0].residual[1].weight, g["res_bn"]["scale"])
+    cp(ref.st_gcns[0].residual[1].bias, g["res_bn"]["bias"])
+    cp(ref.st_gcns[0].prelu.weight, g["out_prelu"]["alpha"])
+    for i in range(4):  # tpcnns[4]/prelus[4] constructed-but-unused both sides
+        cp(ref.tpcnns[i].weight, p[f"tpcnn_{i}"]["kernel"])
+        cp(ref.tpcnns[i].bias, p[f"tpcnn_{i}"]["bias"])
+        cp(ref.prelus[i].weight, p[f"prelu_{i}"]["alpha"])
+    cp(ref.tpcnn_ouput.weight, p["tpcnn_output"]["kernel"])
+    cp(ref.tpcnn_ouput.bias, p["tpcnn_output"]["bias"])
+
+
+def _copy_gpgraph_wrapper(torch, ref, p):
+    """Copy GroupGenerator (learned_l2norm conv + learned th) and
+    GroupIntegrator (mlp) params (model_groupwrapper.py:8-37, 125-152)."""
+    cp = _cp_factory(torch)
+    cp(ref.group_gen.group_cnn[0].weight, p["group_gen"]["group_cnn"]["kernel"])
+    cp(ref.group_gen.group_cnn[0].bias, p["group_gen"]["group_cnn"]["bias"])
+    cp(ref.group_gen.th, p["group_gen"]["th"])
+    cp(ref.group_mix.st_gcns_mix[0].weight, p["group_mix"]["mix_prelu"]["alpha"])
+    cp(ref.group_mix.st_gcns_mix[1].weight, p["group_mix"]["mix_conv"]["kernel"])
+    cp(ref.group_mix.st_gcns_mix[1].bias, p["group_mix"]["mix_conv"]["bias"])
+
+
+def _gpgraph_parity_inputs(rng, mod, n=8):
+    c_obs = jnp.asarray(rng.normal(size=(K, n)).astype(np.float32))
+    ori = jnp.asarray(rng.normal(size=(2, n)).astype(np.float32))
+    aux = {"ped_valid": jnp.ones(n, bool)}
+    inputs = mod.prepare(c_obs, ori, aux)
+    model = mod.make_model(CFG)
+    variables = model.init(jax.random.PRNGKey(0), *inputs, train=False)
+    return c_obs, ori, aux, inputs, model, variables
+
+
+def test_gpgraphsgcn_weight_injection_full_forward_parity(rng):
+    """Copy our initialized params into the reference GPGraph(SGCN) and compare
+    the FULL forward (group generation via fori_loop relabeling + rank
+    compaction, 3 weight-shared streams, MLP integrator) end to end
+    (reference: baseline/gpgraphsgcn/model_groupwrapper.py:181-240)."""
+    torch = pytest.importorskip("torch")
+    from tests._reference import patch_torch_cpu, reference_module
+
+    reference_module("baseline")
+    patch_torch_cpu()
+    from baseline.gpgraphsgcn.model import get_GPGraph_SGCN_model
+    from baseline.gpgraphsgcn import bridge as ref_bridge
+    from eigentrajectory_tpu.models import gpgraphsgcn
+
+    c_obs, ori, aux, inputs, model, variables = _gpgraph_parity_inputs(
+        rng, gpgraphsgcn)
+    p = variables["params"]
+
+    ref = get_GPGraph_SGCN_model(obs_len=K + 2, pred_len=K, in_dims=1, out_dims=S)
+    ref.eval()
+    _copy_sgcn_trajectory_model(torch, ref.baseline_model, p["baseline_model"])
+    _copy_gpgraph_wrapper(torch, ref, p)
+
+    obs_t = torch.from_numpy(np.asarray(c_obs).copy())
+    ori_t = torch.from_numpy(np.asarray(ori).copy())
+    with torch.no_grad():
+        tin = ref_bridge.model_forward_pre_hook(obs_t, ori_t)
+        tout = ref_bridge.model_forward(tin, ref)
+        ref_pred = ref_bridge.model_forward_post_hook(tout).numpy()  # (k, N, s)
+
+    ours = np.asarray(gpgraphsgcn.finalize(
+        model.apply(variables, *inputs, train=False), aux))
+    np.testing.assert_allclose(ours, ref_pred, atol=1e-4)
+
+
+def test_gpgraphstgcnn_weight_injection_full_forward_parity(rng):
+    """Same as above for the STGCNN variant: per-stream inverse-distance
+    adjacency (identity vs masked) instead of identity matrices
+    (reference: baseline/gpgraphstgcnn/model_groupwrapper.py:201-233)."""
+    torch = pytest.importorskip("torch")
+    from tests._reference import patch_torch_cpu, reference_module
+
+    reference_module("baseline")
+    patch_torch_cpu()
+    from baseline.gpgraphstgcnn.model import get_GPGraph_STGCNN_model
+    from baseline.gpgraphstgcnn import bridge as ref_bridge
+    from eigentrajectory_tpu.models import gpgraphstgcnn
+
+    c_obs, ori, aux, inputs, model, variables = _gpgraph_parity_inputs(
+        rng, gpgraphstgcnn)
+    p = variables["params"]
+
+    ref = get_GPGraph_STGCNN_model(obs_len=K + 2, pred_len=K, in_dims=1, out_dims=S)
+    ref.eval()
+    _copy_stgcnn_model(torch, ref.baseline_model, p["baseline_model"])
+    _copy_gpgraph_wrapper(torch, ref, p)
+
+    obs_t = torch.from_numpy(np.asarray(c_obs).copy())
+    ori_t = torch.from_numpy(np.asarray(ori).copy())
+    with torch.no_grad():
+        tin = ref_bridge.model_forward_pre_hook(obs_t, ori_t)
+        tout = ref_bridge.model_forward(tin, ref)
+        ref_pred = ref_bridge.model_forward_post_hook(tout).numpy()  # (k, N, s)
+
+    ours = np.asarray(gpgraphstgcnn.finalize(
+        model.apply(variables, *inputs, train=False), aux))
+    np.testing.assert_allclose(ours, ref_pred, atol=1e-4)
