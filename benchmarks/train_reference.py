@@ -25,6 +25,75 @@ import time
 REFERENCE = "/root/reference"
 
 
+def _fit_resumable(tr, hp, torch, args):
+    """Replicate the reference fit loop (utils/trainer.py:68-87) epoch by
+    epoch, snapshotting full training state after every epoch.
+
+    The descriptor/anchors are deterministic given seed 0 (sklearn
+    random_state=0, deterministic SVD), so re-running init_descriptor on
+    restart reproduces them exactly; torch/numpy RNG states are saved so the
+    dataloader shuffle stream continues where it left off.
+    """
+    import random
+
+    import numpy as np
+
+    resume_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "ref_resume")
+    os.makedirs(resume_dir, exist_ok=True)
+    snap = os.path.join(resume_dir, f"{args.baseline}-{args.dataset}.pt")
+
+    start = 0
+    if os.path.exists(snap):
+        state = torch.load(snap, weights_only=False)
+        tr.model.load_state_dict(state["model"])
+        tr.optimizer.load_state_dict(state["optimizer"])
+        if hp.lr_schd:
+            tr.scheduler.load_state_dict(state["scheduler"])
+        tr.log = state["log"]
+        torch.set_rng_state(state["torch_rng"])
+        np.random.set_state(state["np_rng"])
+        random.setstate(state["py_rng"])
+        if state.get("best_model") is not None:
+            os.makedirs(tr.checkpoint_dir, exist_ok=True)
+            with open(tr.checkpoint_dir + "model_best.pth", "wb") as f:
+                f.write(state["best_model"])
+        start = state["epoch"] + 1
+        print(f"resumed {args.baseline}-{args.dataset} at epoch {start}")
+
+    print("Training started...")
+    for epoch in range(start, hp.num_epochs):
+        ep_t0 = time.perf_counter()
+        tr.train(epoch)
+        tr.valid(epoch)
+        if hp.lr_schd:
+            tr.scheduler.step()
+        if epoch == 0 or tr.log["val_loss"][-1] < min(tr.log["val_loss"][:-1]):
+            tr.save_model()
+
+        best_blob = None
+        best_path = tr.checkpoint_dir + "model_best.pth"
+        if os.path.exists(best_path):
+            with open(best_path, "rb") as f:
+                best_blob = f.read()
+        torch.save({
+            "epoch": epoch,
+            "model": tr.model.state_dict(),
+            "optimizer": tr.optimizer.state_dict(),
+            "scheduler": tr.scheduler.state_dict() if hp.lr_schd else None,
+            "log": tr.log,
+            "torch_rng": torch.get_rng_state(),
+            "np_rng": np.random.get_state(),
+            "py_rng": random.getstate(),
+            "best_model": best_blob,
+        }, snap)
+        print(f"Dataset: {hp.dataset}, Epoch: {epoch}, "
+              f"Train_loss: {tr.log['train_loss'][-1]:.8f}, "
+              f"Val_loss: {tr.log['val_loss'][-1]:.8f}, "
+              f"epoch_s: {time.perf_counter() - ep_t0:.1f}", flush=True)
+    print("Done.")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", required=True)
@@ -33,6 +102,10 @@ def main():
                     help="override num_epochs (default: reference config value)")
     ap.add_argument("--tag", default="ref-measured")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="snapshot model/optimizer/scheduler/RNG each epoch to "
+                         "benchmarks/ref_resume/ and restore if present, so "
+                         ">12h reference runs can span driver rounds")
     args = ap.parse_args()
 
     out_path = args.out or os.path.join(
@@ -45,9 +118,13 @@ def main():
     workdir = "/tmp/ref_train"
     os.makedirs(workdir, exist_ok=True)
     os.chdir(workdir)
-    if not os.path.islink(os.path.join(workdir, "datasets")):
-        os.symlink(os.path.join(REFERENCE, "datasets"),
-                   os.path.join(workdir, "datasets"))
+    # The reference reads baseline assets (pecnet/optimal.yaml,
+    # agentformer/agentformer_pre.yml) via CWD-relative paths
+    # (utils/trainer.py:304, :385) — symlink them into the scratch dir.
+    for link in ("datasets", "baseline", "config", "utils", "EigenTrajectory"):
+        dst = os.path.join(workdir, link)
+        if not os.path.islink(dst):
+            os.symlink(os.path.join(REFERENCE, link), dst)
 
     import torch
 
@@ -92,7 +169,10 @@ def main():
     tr.init_descriptor()
 
     t0 = time.perf_counter()
-    tr.fit()
+    if args.resume:
+        _fit_resumable(tr, hp, torch, args)
+    else:
+        tr.fit()
     train_s = time.perf_counter() - t0
 
     tr.load_model()
