@@ -1,46 +1,39 @@
 """ETH-UCY trajectory dataset ingestion.
 
-Reproduces the preprocessing semantics of the reference TrajectoryDataset
-(/root/reference/utils/dataloader.py:158-232): sliding windows of
-obs_len+pred_len frames, keeping only pedestrians observed over the full
-window, 4-decimal rounding, min_ped filtering, and a quadratic-polyfit
-non-linearity flag. Host-side NumPy only; device arrays are produced by the
-batching layer (batching.py) as padded, masked, static-shape scene tensors
-for XLA.
+Reproduces the preprocessing *semantics* of the reference TrajectoryDataset
+(/root/reference/utils/dataloader.py:158-232) — sliding windows of
+obs_len+pred_len frames, keeping only pedestrians observed at every frame of
+the window, 4-decimal coordinate rounding, the strict `> min_ped` scene
+filter, and a quadratic-polyfit non-linearity flag — with a vectorized
+occupancy-grid formulation rather than the reference's per-ped Python loop.
+Bitwise equivalence to the reference output is pinned by
+tests/test_dataset.py (vs the imported reference dataset on a real split) and
+tests/test_native_loader.py (vs the independent C++ implementation).
+
+Host-side NumPy only; device arrays are produced by the batching layer
+(batching.py) as padded, masked, static-shape scene tensors for XLA.
+
+Semantics notes (verified against the reference):
+  * The reference's window-start loop bound `num_sequences * skip + 1`
+    generates trailing starts whose windows are shorter than seq_len; no
+    pedestrian can be fully observed there, so those windows can never pass
+    the `> min_ped` filter. Iterating only complete windows is therefore
+    output-identical.
+  * A pedestrian qualifies iff its first/last frames span the whole window
+    (dataloader.py:206-210); with one row per (frame, ped) — true for all
+    ETH-UCY files — that is exactly "present at every window frame", i.e. an
+    all() over the occupancy grid.
+  * Scene tensors keep pedestrians in ascending-id order and scenes in
+    (file, window-start) order; the loss mask of a kept pedestrian is all
+    ones over the window.
 """
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from typing import List, Tuple
 
 import numpy as np
-
-
-def read_file(path: str, delim: str = "\t") -> np.ndarray:
-    """Parse a `frame ped x y` text file (dataloader.py:122-133)."""
-    if delim == "tab":
-        delim = "\t"
-    elif delim == "space":
-        delim = " "
-    rows = []
-    with open(path, "r") as f:
-        for line in f:
-            line = line.strip().split(delim)
-            rows.append([float(i) for i in line])
-    return np.asarray(rows)
-
-
-def poly_fit(traj: np.ndarray, traj_len: int, threshold: float) -> float:
-    """Non-linearity flag via quadratic polyfit residual (dataloader.py:136-151).
-
-    traj: (2, seq_len); returns 1.0 if residual >= threshold else 0.0.
-    """
-    t = np.linspace(0, traj_len - 1, traj_len)
-    res_x = np.polyfit(t, traj[0, -traj_len:], 2, full=True)[1]
-    res_y = np.polyfit(t, traj[1, -traj_len:], 2, full=True)[1]
-    return 1.0 if res_x + res_y >= threshold else 0.0
 
 
 @dataclasses.dataclass
@@ -77,6 +70,66 @@ class TrajectoryData:
         return self.obs_traj[s:e], self.pred_traj[s:e]
 
 
+def _load_rows(path: str, delim: str) -> np.ndarray:
+    """Parse a `frame ped x y` text file into an (R, 4) float array."""
+    if delim in ("\t", " ", "tab", "space"):
+        # Whitespace-delimited (covers both tab and space variants).
+        return np.loadtxt(path, ndmin=2)
+    return np.loadtxt(path, delimiter=delim, ndmin=2)
+
+
+def _nonlinearity_flags(coords: np.ndarray, pred_len: int,
+                        threshold: float) -> np.ndarray:
+    """Quadratic-fit residual flag per pedestrian (dataloader.py:136-151).
+
+    coords: (n, seq_len, 2) rounded coordinates. A pedestrian is flagged
+    non-linear when the summed x/y residuals of a degree-2 least-squares fit
+    over the final pred_len steps reach `threshold`. All pedestrians and both
+    axes are fitted in one lstsq solve (columns share the design matrix).
+    """
+    n = coords.shape[0]
+    t = np.arange(pred_len, dtype=np.float64)
+    tail = coords[:, -pred_len:, :]                       # (n, pred_len, 2)
+    rhs = tail.transpose(1, 0, 2).reshape(pred_len, n * 2)
+    residuals = np.polyfit(t, rhs, 2, full=True)[1]       # (n*2,)
+    per_ped = residuals.reshape(n, 2).sum(axis=1)
+    return (per_ped >= threshold).astype(np.float64)
+
+
+def _scenes_from_file(data: np.ndarray, seq_len: int, skip: int,
+                      min_ped: int) -> List[np.ndarray]:
+    """All qualifying scene tensors from one raw file.
+
+    Builds a (ped, frame) occupancy grid and a coordinate grid once, then
+    slides a seq_len window over the frame axis; a scene is the coordinate
+    block of the fully-present pedestrians whenever more than min_ped qualify.
+    Returns a list of (n_kept, seq_len, 2) arrays.
+    """
+    frames, frame_pos = np.unique(data[:, 0], return_inverse=True)
+    _, ped_pos = np.unique(data[:, 1], return_inverse=True)
+    n_frames, n_peds = len(frames), ped_pos.max() + 1
+    if n_frames < seq_len:
+        return []
+
+    present = np.zeros((n_peds, n_frames), dtype=bool)
+    present[ped_pos, frame_pos] = True
+    grid = np.zeros((n_peds, n_frames, 2))
+    grid[ped_pos, frame_pos] = np.round(data[:, 2:4], 4)
+
+    # Fully-observed test for every (ped, window) at once: a running count of
+    # present frames differs by exactly seq_len across a full window.
+    csum = np.concatenate(
+        [np.zeros((n_peds, 1), np.int64), np.cumsum(present, axis=1)], axis=1)
+    starts = range(0, n_frames - seq_len + 1, skip)
+
+    scenes = []
+    for s in starts:
+        kept = (csum[:, s + seq_len] - csum[:, s]) == seq_len   # (n_peds,)
+        if int(kept.sum()) > min_ped:
+            scenes.append(grid[kept, s:s + seq_len])
+    return scenes
+
+
 def load_trajectory_data(
     data_dir: str,
     obs_len: int = 8,
@@ -89,10 +142,6 @@ def load_trajectory_data(
 ) -> TrajectoryData:
     """Build TrajectoryData from a directory of raw txt files.
 
-    Window construction follows dataloader.py:183-222 exactly, including the
-    `range(0, num_sequences * skip + 1, skip)` off-by-design loop bound and the
-    strict `num_peds_considered > min_ped` filter.
-
     When the native C++ preprocessor (native/libetloader.so) is built it is
     used instead — bitwise-identical output, ~35x faster (see
     tests/test_native_loader.py); pass use_native=False to force Python.
@@ -104,65 +153,26 @@ def load_trajectory_data(
             data_dir, obs_len, pred_len, skip, threshold, min_ped)
         if native is not None:
             return native
-    all_files = sorted(os.listdir(data_dir))
-    all_files = [os.path.join(data_dir, p) for p in all_files]
+
     seq_len = obs_len + pred_len
+    scenes: List[np.ndarray] = []
+    for name in sorted(os.listdir(data_dir)):
+        rows = _load_rows(os.path.join(data_dir, name), delim)
+        scenes.extend(_scenes_from_file(rows, seq_len, skip, min_ped))
 
-    num_peds_in_seq: List[int] = []
-    seq_list: List[np.ndarray] = []
-    loss_mask_list: List[np.ndarray] = []
-    non_linear_ped: List[float] = []
-
-    for path in all_files:
-        data = read_file(path, delim)
-        frames = np.unique(data[:, 0]).tolist()
-        frame_data = [data[frame == data[:, 0], :] for frame in frames]
-        num_sequences = int(math.ceil((len(frames) - seq_len + 1) / skip))
-
-        for idx in range(0, num_sequences * skip + 1, skip):
-            curr_seq_data = np.concatenate(frame_data[idx:idx + seq_len], axis=0)
-            peds_in_curr_seq = np.unique(curr_seq_data[:, 1])
-            curr_seq = np.zeros((len(peds_in_curr_seq), 2, seq_len))
-            curr_loss_mask = np.zeros((len(peds_in_curr_seq), seq_len))
-            num_peds_considered = 0
-            _non_linear_ped: List[float] = []
-            for ped_id in peds_in_curr_seq:
-                curr_ped_seq = curr_seq_data[curr_seq_data[:, 1] == ped_id, :]
-                curr_ped_seq = np.around(curr_ped_seq, decimals=4)
-                pad_front = frames.index(curr_ped_seq[0, 0]) - idx
-                pad_end = frames.index(curr_ped_seq[-1, 0]) - idx + 1
-                if pad_end - pad_front != seq_len:
-                    continue
-                xy = np.transpose(curr_ped_seq[:, 2:])
-                _idx = num_peds_considered
-                curr_seq[_idx, :, pad_front:pad_end] = xy
-                _non_linear_ped.append(poly_fit(xy, pred_len, threshold))
-                curr_loss_mask[_idx, pad_front:pad_end] = 1
-                num_peds_considered += 1
-
-            if num_peds_considered > min_ped:
-                non_linear_ped += _non_linear_ped
-                num_peds_in_seq.append(num_peds_considered)
-                loss_mask_list.append(curr_loss_mask[:num_peds_considered])
-                seq_list.append(curr_seq[:num_peds_considered])
-
-    seq_arr = np.concatenate(seq_list, axis=0)
-    loss_mask_arr = np.concatenate(loss_mask_list, axis=0)
-    nl = np.asarray(non_linear_ped)
-    npis = np.array(num_peds_in_seq)
-
-    obs_traj = seq_arr[:, :, :obs_len].astype(np.float32).transpose(0, 2, 1)   # NTC
-    pred_traj = seq_arr[:, :, obs_len:].astype(np.float32).transpose(0, 2, 1)  # NTC
-    cum = [0] + np.cumsum(npis).tolist()
-    seq_start_end = [(int(s), int(e)) for s, e in zip(cum, cum[1:])]
+    coords = np.concatenate(scenes, axis=0)               # (N, seq_len, 2)
+    counts = np.array([len(s) for s in scenes])
+    non_linear = np.concatenate(
+        [_nonlinearity_flags(s, pred_len, threshold) for s in scenes])
+    bounds = np.concatenate([[0], np.cumsum(counts)])
 
     return TrajectoryData(
-        obs_traj=obs_traj,
-        pred_traj=pred_traj,
-        non_linear_ped=nl.astype(np.float32),
-        loss_mask=loss_mask_arr.astype(np.float32),
-        num_peds_in_seq=npis,
-        seq_start_end=seq_start_end,
+        obs_traj=coords[:, :obs_len].astype(np.float32),
+        pred_traj=coords[:, obs_len:].astype(np.float32),
+        non_linear_ped=non_linear.astype(np.float32),
+        loss_mask=np.ones((len(coords), seq_len), np.float32),
+        num_peds_in_seq=counts,
+        seq_start_end=[(int(a), int(b)) for a, b in zip(bounds, bounds[1:])],
     )
 
 
