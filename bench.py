@@ -30,12 +30,8 @@ def main():
     from eigentrajectory_tpu.data.batching import SceneBatcher
     from eigentrajectory_tpu.train.trainer import ETJaxTrainer
 
-    data_root = "/root/reference/datasets/"
-    if not os.path.isdir(data_root):
-        data_root = "./datasets/"
-
     cfg = ExpConfig(baseline=BASELINE_MODEL, dataset=DATASET,
-                    static_dist=STATIC_DIST[DATASET], dataset_dir=data_root,
+                    static_dist=STATIC_DIST[DATASET],
                     checkpoint_dir="/tmp/et_tpu_bench")
     tr = ETJaxTrainer(cfg, tag="bench", test_mode=True)
     tr.init_descriptor()

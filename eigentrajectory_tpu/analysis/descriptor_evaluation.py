@@ -17,6 +17,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from ..config import resolve_dataset_dir
 from ..data.dataset import load_trajectory_data
 from ..etspace.normalizer import compute_norm_params, denormalize, normalize
 from .curves import bezier_basis, bspline_basis, curve_fit_lstsq, linear_basis
@@ -88,7 +89,7 @@ def eval_dataset(dataset_dir: str, obs_len: int = 8, pred_len: int = 12) -> List
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--dataset_dir", default="/root/reference/datasets/")
+    parser.add_argument("--dataset_dir", default="./datasets/")
     parser.add_argument("--datasets", nargs="+",
                         default=["eth", "hotel", "univ", "zara1", "zara2"])
     parser.add_argument("--obs_len", type=int, default=8)
@@ -99,7 +100,8 @@ def main():
     all_results = {}
     for scene in args.datasets:
         print(f"Scene: {scene}")
-        rows = eval_dataset(args.dataset_dir + scene, args.obs_len, args.pred_len)
+        rows = eval_dataset(resolve_dataset_dir(args.dataset_dir, scene),
+                            args.obs_len, args.pred_len)
         all_results[scene] = rows
         for r in rows:
             extra = {k: v for k, v in r.items()

@@ -118,11 +118,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["fig3", "tsne"])
     ap.add_argument("--dataset", default="eth")
-    ap.add_argument("--dataset_dir", default="/root/reference/datasets/")
+    ap.add_argument("--dataset_dir", default="./datasets/")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    ddir = os.path.join(args.dataset_dir, args.dataset)
+    from ..config import resolve_dataset_dir
+
+    ddir = resolve_dataset_dir(args.dataset_dir, args.dataset)
     out = args.out or f"{args.mode}_{args.dataset}.png"
     if args.mode == "fig3":
         print(plot_fig3(ddir, out))

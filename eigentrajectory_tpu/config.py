@@ -75,6 +75,25 @@ class ExpConfig:
         return dataclasses.replace(self, **kw)
 
 
+REFERENCE_DATASETS = "/root/reference/datasets/"
+
+
+def resolve_dataset_dir(dataset_dir: str, dataset: str) -> str:
+    """Resolve the per-split data directory with a reference-mount fallback.
+
+    Configs default to the standalone layout `./datasets/<name>` (populated by
+    scripts/download_datasets.sh); when that is absent but the read-only
+    reference mount exists (driver sandbox), fall back to it so the same
+    config files work in both environments.
+    """
+    path = os.path.join(dataset_dir, dataset)
+    if not os.path.isdir(path):
+        fallback = os.path.join(REFERENCE_DATASETS, dataset)
+        if os.path.isdir(fallback):
+            return fallback
+    return path
+
+
 def load_config(path: str, **overrides) -> ExpConfig:
     """Load a JSON config file (reference-schema compatible) into ExpConfig."""
     assert os.path.exists(path), f"Config file {path} does not exist"

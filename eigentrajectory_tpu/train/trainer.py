@@ -19,6 +19,7 @@ grads are zeroed via optax.zero_nans().
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import pickle
 import time
@@ -31,7 +32,7 @@ import optax
 from flax import serialization
 
 from .. import metrics as M
-from ..config import ExpConfig
+from ..config import ExpConfig, resolve_dataset_dir
 
 # The reference disables TF32 for reproducibility (utils/utils.py:16-17);
 # the TPU analogue is full-f32 matmul passes. These models are tiny, so the
@@ -64,9 +65,12 @@ class ETJaxTrainer:
         self.baseline = get_baseline(cfg.baseline)
         self.batching = self.baseline.BATCHING
 
-        self.dataset_dir = os.path.join(cfg.dataset_dir, cfg.dataset)
+        self.dataset_dir = resolve_dataset_dir(cfg.dataset_dir, cfg.dataset)
         self.checkpoint_dir = os.path.join(cfg.checkpoint_dir, tag, cfg.dataset)
         self.log: Dict[str, list] = {"train_loss": [], "val_loss": []}
+        # Optional per-step wall-clock meter (set by fit()/benchmarks);
+        # measured around dispatch + the float(loss) sync.
+        self.step_timer = None
 
         # --- data (dataloader.py semantics); `datasets` overrides loading
         # (used by tests / dry runs / benchmarks) ---
@@ -436,9 +440,12 @@ class ETJaxTrainer:
                 args = self._shard(jnp.asarray(batch.obs), jnp.asarray(batch.pred),
                                    jnp.asarray(batch.ped_valid),
                                    jnp.asarray(batch.scene_ids))
-            self.params, self.batch_stats, self.opt_state, loss = self._train_step(
-                self.params, self.batch_stats, self.opt_state, *args, step_rng)
-            total += float(loss)
+            ctx = (self.step_timer.measure() if self.step_timer is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                self.params, self.batch_stats, self.opt_state, loss = self._train_step(
+                    self.params, self.batch_stats, self.opt_state, *args, step_rng)
+                total += float(loss)
             count += 1
         # Match the reference's normalization: loss divided by the number of
         # scenes (sequenced, trainer.py:154) or batches (collated, :233).
@@ -487,6 +494,7 @@ class ETJaxTrainer:
         from ..utils.profiling import StepTimer, trace_annotation
 
         self.epoch_timer = StepTimer()
+        self.step_timer = StepTimer()
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             with self.epoch_timer.measure():
@@ -504,6 +512,13 @@ class ETJaxTrainer:
                       f"val {self.log['val_loss'][-1]:.6f} "
                       f"best {min(self.log['val_loss']):.6f} "
                       f"({time.time() - t0:.1f}s)", flush=True)
+        if verbose and self.epoch_timer.durations:
+            ep, st = self.epoch_timer.summary(), self.step_timer.summary()
+            print(f"[timing] epochs: mean {ep['mean_s']:.3f}s p50 {ep['p50_s']:.3f}s "
+                  f"p90 {ep['p90_s']:.3f}s max {ep['max_s']:.3f}s | "
+                  f"train steps ({st.get('count', 0)}): mean {st.get('mean_s', 0):.4f}s "
+                  f"p50 {st.get('p50_s', 0):.4f}s p90 {st.get('p90_s', 0):.4f}s",
+                  flush=True)
 
     # ---------------------------------------------------------------- test
     def test(self, eval_batch: int = 64) -> Dict[str, float]:
