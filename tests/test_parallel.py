@@ -39,3 +39,72 @@ def test_sharded_training_matches_single_device(tmp_path, monkeypatch):
                                rtol=2e-3)
     # and training actually progressed identically in direction
     assert t8.log["train_loss"][-1] < t8.log["train_loss"][0]
+
+
+def test_sharded_gradients_match_unsharded():
+    """One batch, one step, pre-optimizer: the gradient tree computed with
+    inputs sharded over an 8-way 'data' mesh (params replicated, XLA inserts
+    the all-reduce) matches the single-device gradient tree at tight
+    tolerance. This is the actual data-parallel correctness claim, without the
+    AdamW 1/sqrt(v) amplification the loss-level test works around."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from eigentrajectory_tpu.data.batching import pad_scenes
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = ExpConfig(baseline="stgcnn", batch_size=8, dataset="synthetic",
+                    checkpoint_dir="/tmp/et_grad_parity")
+    data = tuple(_synthetic_data(np.random.default_rng(1)) for _ in range(3))
+    tr = ETJaxTrainer(cfg, tag="gradparity", test_mode=True, datasets=data)
+    tr.init_descriptor()
+
+    batch = pad_scenes(tr.data_train, list(range(8)), tr.n_max, 8)
+    obs = jnp.asarray(batch.obs)
+    pred = jnp.asarray(batch.pred)
+    valid = jnp.asarray(batch.ped_valid)
+    scene_valid = jnp.asarray(batch.scene_valid)
+    rngs = jax.random.split(jax.random.PRNGKey(7), 8)
+
+    def batch_loss(p, obs, pred, valid, scene_valid, rngs):
+        def one(o, g, v, r):
+            out = tr._scene_forward(p, tr.batch_stats, o, g, v, r,
+                                    tr._make_aux_template(o.shape[0]), train=True)
+            return (out["loss_eigentraj"] + out["loss_euclidean_ade"]
+                    + out["loss_euclidean_fde"])
+
+        losses = jax.vmap(one)(obs, pred, valid, rngs)
+        w = scene_valid.astype(losses.dtype)
+        return (jnp.nan_to_num(losses) * w).sum() / cfg.batch_size
+
+    grad_fn = jax.jit(jax.grad(batch_loss))
+
+    g_single = grad_fn(tr.params, obs, pred, valid, scene_valid, rngs)
+
+    mesh = make_mesh(n_data=8)
+    data_sh = NamedSharding(mesh, P("data"))
+    rep_sh = NamedSharding(mesh, P())
+    params_r = jax.device_put(tr.params, rep_sh)
+    g_sharded = grad_fn(
+        params_r,
+        jax.device_put(obs, data_sh), jax.device_put(pred, data_sh),
+        jax.device_put(valid, data_sh), jax.device_put(scene_valid, data_sh),
+        jax.device_put(rngs, data_sh))
+
+    flat1, _ = jax.tree_util.tree_flatten(g_single)
+    flat8, _ = jax.tree_util.tree_flatten(g_sharded)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in flat1), "degenerate grads"
+    # Global relative L2 over the whole gradient vector: catches any real
+    # divergence (a wrong collective or dropped scene is O(1)); the tight
+    # bound holds because reassociation noise is incoherent across leaves.
+    v1 = np.concatenate([np.asarray(g, np.float64).ravel() for g in flat1])
+    v8 = np.concatenate([np.asarray(g, np.float64).ravel() for g in flat8])
+    global_rel = np.linalg.norm(v1 - v8) / np.linalg.norm(v1)
+    assert global_rel < 1e-5, f"global grad rel-L2 {global_rel:.2e}"
+    # Per-leaf: loose rtol absorbs f32 reassociation on cancellation-heavy
+    # scalars (PReLU alphas sum thousands of signed terms; observed ~9e-4).
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-6)
