@@ -30,8 +30,34 @@ class _ETLoadResult(ctypes.Structure):
 _lib = None
 
 
+def _ensure_built():
+    """Build (or rebuild) the shared library when missing or stale.
+
+    The .so is intentionally NOT committed — a tracked binary could silently
+    drift from etloader.cpp. Instead it is compiled on first use and rebuilt
+    whenever the source is newer; on any build failure we fall back to the
+    (bitwise-identical) Python loader.
+    """
+    native_dir = os.path.dirname(_LIB_PATH)
+    src = os.path.join(native_dir, "etloader.cpp")
+    if not os.path.exists(src):
+        return
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale:
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True, timeout=180)
+        except Exception:
+            pass
+
+
 def _load_lib():
     global _lib
+    if _lib is None:
+        _ensure_built()
     if _lib is None and os.path.exists(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
         lib.et_load_split.restype = ctypes.c_int

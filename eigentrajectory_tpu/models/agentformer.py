@@ -178,6 +178,12 @@ class AgentFormerLight(nn.Module):
     past_frames: int     # k + 2
     future_frames: int   # k
     forecast_dim: int    # s
+    # conn_dist masking branch (model.py:522-534): agents farther than
+    # conn_dist/traj_scale at the last observed step cannot attend to each
+    # other. The reference default (1e5) disables it; the ET configs never set
+    # it, but the capability is kept for config parity.
+    conn_dist: float = 100000.0
+    traj_scale: float = 1.0
 
     @nn.compact
     def __call__(self, pre_motion, valid, train: bool = False):
@@ -192,8 +198,19 @@ class AgentFormerLight(nn.Module):
 
         key_bias = jnp.where(valid, 0.0, -1e9)                    # (N,)
 
+        if self.conn_dist < 1000.0:
+            cur = pre_motion[-1]                                   # (N, d)
+            dist = jnp.linalg.norm(cur[:, None, :] - cur[None, :, :], axis=-1)
+            agent_mask = jnp.where(dist > self.conn_dist / self.traj_scale,
+                                   -jnp.inf, 0.0)                  # (N, N)
+        else:
+            agent_mask = jnp.zeros((n, n))
+
         def pad_bias(lt, ls):
-            return jnp.tile(key_bias, ls // n)[None, :] * jnp.ones((lt, 1))
+            # generate_mask (model.py:26-29): the (N, N) agent mask tiles over
+            # the time blocks; padded key lanes are additionally masked.
+            base = jnp.tile(agent_mask, (lt // n, ls // n))
+            return base + jnp.tile(key_bias, ls // n)[None, :] * jnp.ones((lt, 1))
 
         # --- ContextEncoder (model.py:132-171) ---
         x = pre_motion.reshape(t * n, 1)
@@ -235,8 +252,11 @@ class AgentFormerLight(nn.Module):
 
 
 def make_model(cfg):
+    bc = getattr(cfg, "baseline_config", None) or {}
     return AgentFormerLight(past_frames=cfg.k + 2, future_frames=cfg.k,
-                            forecast_dim=cfg.num_samples)
+                            forecast_dim=cfg.num_samples,
+                            conn_dist=float(bc.get("conn_dist", 100000.0)),
+                            traj_scale=float(bc.get("traj_scale", 1.0)))
 
 
 def prepare(c_obs: jnp.ndarray, obs_ori: jnp.ndarray, aux: Dict) -> Tuple:

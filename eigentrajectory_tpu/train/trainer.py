@@ -116,19 +116,16 @@ class ETJaxTrainer:
                 self.data_train, cfg.batch_size, False, drop_last=True)))
         self.steps_per_epoch = steps_per_epoch
 
-        if cfg.lr_schd:
-            boundary = cfg.lr_schd_step * steps_per_epoch
-
-            def schedule(step):
-                return cfg.lr * (cfg.lr_schd_gamma ** (step // boundary))
-        else:
-            def schedule(step):
-                return cfg.lr
-
+        # StepLR-equivalent schedule keyed on the EPOCH counter, exactly like
+        # the reference's per-epoch scheduler.step() (utils/trainer.py:73-74):
+        # the lr is injected into the optimizer state at the top of train(),
+        # so it never drifts with the shuffle-dependent number of optimizer
+        # steps per epoch (the collated packing is ragged).
         chain = [optax.zero_nans()]
         if cfg.clip_grad is not None:
             chain.append(optax.clip_by_global_norm(cfg.clip_grad))
-        chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
+        chain.append(optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, weight_decay=cfg.weight_decay))
         self.tx = optax.chain(*chain)
         self.opt_state = self.tx.init(self.params)
 
@@ -227,14 +224,17 @@ class ETJaxTrainer:
 
         if self.batching == "sequenced":
             def batched_grads(params, batch_stats, obs, pred, valid,
-                              scene_valid, rng):
+                              scene_valid, rngs):
                 """Loss + grads + batch-stat average for one chunk of scenes.
 
-                Losses are divided by the FULL cfg.batch_size, so summing the
-                grads of cfg.micro_batches chunks reproduces the whole-batch
-                step exactly (host-side micro-batching shrinks the compiled
-                graph ~M-fold for XL predictors whose B=128 graph overwhelms
-                the XLA compiler, e.g. GP-Graph-SGCN)."""
+                `rngs` carries one pre-split key PER SCENE. Losses are divided
+                by the FULL cfg.batch_size, so summing the grads of
+                cfg.micro_batches chunks reproduces the whole-batch step
+                exactly — including the dropout/DropEdge streams, because the
+                per-scene keys are split once from the step key and sliced per
+                chunk (host-side micro-batching shrinks the compiled graph
+                ~M-fold for XL predictors whose B=128 graph overwhelms the XLA
+                compiler, e.g. GP-Graph-SGCN)."""
                 def batched_loss(p):
                     def one(o, g, v, r):
                         out = self._scene_forward(p, batch_stats, o, g, v, r,
@@ -245,7 +245,6 @@ class ETJaxTrainer:
                         new_bs = out.get("extras", batch_stats)
                         return loss, new_bs
 
-                    rngs = jax.random.split(rng, obs.shape[0])
                     losses, new_bs = jax.vmap(one)(obs, pred, valid, rngs)
                     w = scene_valid.astype(losses.dtype)
                     losses = jnp.nan_to_num(losses, nan=0.0, posinf=0.0, neginf=0.0) * w
@@ -274,12 +273,15 @@ class ETJaxTrainer:
                     total_loss = 0.0
                     grads_acc = None
                     bs_list, w_list = [], []
-                    rngs = jax.random.split(rng, m)
+                    # One key per scene, split once from the step key and
+                    # sliced per chunk: bit-identical to micro_batches=1 even
+                    # with active dropout/DropEdge.
+                    scene_rngs = jax.random.split(rng, obs.shape[0])
                     for i in range(m):
                         sl = slice(i * chunk, (i + 1) * chunk)
                         loss, grads, bs_avg, n_valid = grad_fn(
                             params, batch_stats, obs[sl], pred[sl], valid[sl],
-                            scene_valid[sl], rngs[i])
+                            scene_valid[sl], scene_rngs[sl])
                         total_loss += loss
                         grads_acc = grads if grads_acc is None else \
                             jax.tree_util.tree_map(jnp.add, grads_acc, grads)
@@ -297,7 +299,8 @@ class ETJaxTrainer:
             def train_step(params, batch_stats, opt_state, obs, pred, valid,
                            scene_valid, rng):
                 loss, grads, new_bs, _ = batched_grads(
-                    params, batch_stats, obs, pred, valid, scene_valid, rng)
+                    params, batch_stats, obs, pred, valid, scene_valid,
+                    jax.random.split(rng, obs.shape[0]))
                 updates, opt_state2 = self.tx.update(grads, opt_state, params)
                 params2 = optax.apply_updates(params, updates)
                 return params2, new_bs, opt_state2, loss
@@ -418,6 +421,18 @@ class ETJaxTrainer:
         return jax.jit(eval_step)
 
     # -------------------------------------------------------------- epochs
+    def _epoch_lr(self, epoch: int) -> float:
+        if not self.cfg.lr_schd:
+            return self.cfg.lr
+        return self.cfg.lr * (self.cfg.lr_schd_gamma
+                              ** (epoch // self.cfg.lr_schd_step))
+
+    def _set_lr(self, lr: float):
+        # The inject_hyperparams state is the last element of the chain tuple;
+        # its hyperparams dict is mutable and part of the opt_state pytree.
+        self.opt_state[-1].hyperparams["learning_rate"] = jnp.asarray(
+            lr, dtype=jnp.float32)
+
     def _train_batches(self, shuffle=True, seed=0):
         if self.batching == "sequenced":
             return SceneBatcher(self.data_train, self.cfg.batch_size, shuffle,
@@ -429,6 +444,7 @@ class ETJaxTrainer:
         if self._train_step is None:
             self._replicate_state()
             self._train_step = self._build_train_step()
+        self._set_lr(self._epoch_lr(epoch))
         total, count = 0.0, 0
         for batch in self._train_batches(shuffle=True, seed=self.cfg.seed + epoch):
             self.rng, step_rng = jax.random.split(self.rng)

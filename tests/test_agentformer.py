@@ -51,21 +51,14 @@ def test_padding_invariance(rng):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_weight_injection_parity_with_reference(rng):
-    """Copy our initialized params into the reference AgentFormerLight and
-    compare full forward outputs (agent-aware attention, pos encoding, the
-    collapsed decode — everything)."""
+def _build_reference(torch, conn_dist=None):
+    """Instantiate the reference AgentFormerLight under the ET wiring."""
     import os
     import sys
 
-    torch = pytest.importorskip("torch")
-    from tests._reference import REFERENCE_PATH, has_reference
+    from tests._reference import REFERENCE_PATH
 
-    if not has_reference():
-        pytest.skip("reference tree not available")
     sys.path.insert(0, REFERENCE_PATH)
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    torch.nn.Module.cuda = lambda self, *a, **k: self
     from baseline.agentformer.model import AgentFormerLight
     from baseline.agentformer.utils.config import Config
 
@@ -80,8 +73,38 @@ def test_weight_injection_parity_with_reference(rng):
     cfg_t.input_type, cfg_t.pred_type = ["pos"], "pos"
     cfg_t.sn_out_type, cfg_t.scene_orig_all_past = None, False
     cfg_t.nz, cfg_t.ar_train, cfg_t.learn_prior = 0, False, False
+    if conn_dist is not None:
+        cfg_t.yml_dict["conn_dist"] = conn_dist
     ref = AgentFormerLight(cfg_t)
     ref.eval()
+    return ref
+
+
+def _run_reference(torch, ref, c_obs, ori, agent_mask=None):
+    from collections import defaultdict
+
+    pre_motion = np.asarray(jnp.concatenate([c_obs, ori], axis=0))[:, :, None]
+    data = defaultdict(lambda: None)
+    data["pre_motion"] = torch.from_numpy(pre_motion.copy())
+    with torch.no_grad():
+        ref.set_data(data)
+        if agent_mask is not None:
+            ref.data["agent_mask"] = agent_mask
+        ref()
+    return ref.data["_dec_motion"].numpy()  # (N, k, S)
+
+
+def test_weight_injection_parity_with_reference(rng):
+    """Copy our initialized params into the reference AgentFormerLight and
+    compare full forward outputs (agent-aware attention, pos encoding, the
+    collapsed decode — everything)."""
+    torch = pytest.importorskip("torch")
+    from tests._reference import has_reference, patch_torch_cpu
+
+    if not has_reference():
+        pytest.skip("reference tree not available")
+    patch_torch_cpu()
+    ref = _build_reference(torch)
 
     model = agentformer.make_model(CFG)
     n = 5
@@ -91,6 +114,14 @@ def test_weight_injection_parity_with_reference(rng):
     variables = model.init(jax.random.PRNGKey(0), *inputs, train=False)
     p = variables["params"]
 
+    _inject_params(torch, ref, p)
+
+    ref_out = _run_reference(torch, ref, c_obs, ori)
+    ours = np.asarray(model.apply(variables, *inputs, train=False))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-4)
+
+
+def _inject_params(torch, ref, p):
     def cp(t, arr):
         with torch.no_grad():
             t.copy_(torch.from_numpy(np.asarray(arr).copy()))
@@ -146,18 +177,57 @@ def test_weight_injection_parity_with_reference(rng):
         cp(tl.norm3.weight, q["norm3"]["scale"])
         cp(tl.norm3.bias, q["norm3"]["bias"])
 
-    from collections import defaultdict
 
-    pre_motion = np.asarray(jnp.concatenate([c_obs, ori], axis=0))[:, :, None]
-    data = defaultdict(lambda: None)
-    data["pre_motion"] = torch.from_numpy(pre_motion.copy())
-    with torch.no_grad():
-        ref.set_data(data)
-        ref()
-    ref_out = ref.data["_dec_motion"].numpy()  # (N, k, S)
+def test_conn_dist_masking_parity_with_reference(rng):
+    """conn_dist branch (reference model.py:505-534): agents beyond the
+    distance threshold at the last observed step are mutually unattendable.
+    Verified by weight injection with conn_dist active and inputs spread so
+    the mask is non-trivial."""
+    torch = pytest.importorskip("torch")
+    from tests._reference import has_reference, patch_torch_cpu
 
+    if not has_reference():
+        pytest.skip("reference tree not available")
+    patch_torch_cpu()
+    conn = 0.8
+    # The reference's own set_data crashes on torch>=2 (`D += D.T` in-place
+    # aliasing, model.py:529), so the distance mask of model.py:522-531 is
+    # built here with the aliasing fixed and injected after set_data; the
+    # reference's mask CONSUMPTION (generate_mask / generate_ar_mask tiling
+    # into every attention) runs unmodified.
+    ref = _build_reference(torch)
+
+    class CFGConn(CFG):
+        baseline_config = {"conn_dist": conn}
+
+    model = agentformer.make_model(CFGConn)
+    assert model.conn_dist == conn
+    n = 6
+    c_obs, ori = _inputs(rng, n)
+    # Spread the last pre_motion row (= ori[-1] lane) so some pairs exceed
+    # the threshold and some do not.
+    ori = ori.at[1].set(jnp.asarray([0.0, 0.3, 0.5, 1.5, 1.7, 4.0]))
+    aux = {"ped_valid": jnp.ones(n, bool)}
+    inputs = agentformer.prepare(c_obs, ori, aux)
+    variables = model.init(jax.random.PRNGKey(0), *inputs, train=False)
+    _inject_params(torch, ref, variables["params"])
+
+    cur = torch.from_numpy(
+        np.asarray(jnp.concatenate([c_obs, ori], axis=0))[-1][:, None].copy())
+    pd = torch.nn.functional.pdist(cur)
+    D = torch.zeros(n, n)
+    D[np.triu_indices(n, 1)] = pd
+    D = D + D.T.clone()
+    tmask = torch.zeros_like(D)
+    tmask[D > conn] = float("-inf")
+
+    ref_out = _run_reference(torch, ref, c_obs, ori, agent_mask=tmask)
     ours = np.asarray(model.apply(variables, *inputs, train=False))
     np.testing.assert_allclose(ours, ref_out, atol=1e-4)
+
+    # And the mask actually bites: with conn_dist disabled the output differs.
+    base = agentformer.make_model(CFG).apply(variables, *inputs, train=False)
+    assert not np.allclose(np.asarray(base), ours, atol=1e-5)
 
 
 def test_dropout_rng_changes_train_output(rng):
