@@ -1,0 +1,69 @@
+"""Render the full Table-2 matrix (10 baselines x 5 splits) as markdown from
+the round-1 results (benchmarks/table2_round1.json, transcribed from trained
+runs) merged with the ongoing sweep output (benchmarks/table2_sweep.json).
+
+Usage: python scripts/make_table2.py [--out docs/TABLE2.md]
+Cells still missing or errored print as "—". Per-baseline ETH-UCY averages are
+shown once all five splits exist.
+"""
+import argparse
+import json
+import os
+
+BASELINES = ["stgcnn", "sgcn", "pecnet", "agentformer", "lbebm", "dmrgcn",
+             "gpgraphsgcn", "gpgraphstgcnn", "graphtern", "implicit"]
+DATASETS = ["eth", "hotel", "univ", "zara1", "zara2"]
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_cells():
+    cells = {}
+    for name in ("table2_round1.json", "table2_sweep.json"):
+        path = os.path.join(HERE, "benchmarks", name)
+        if os.path.exists(path):
+            with open(path) as f:
+                for k, v in json.load(f).items():
+                    if "ADE" in v:
+                        cells[k] = v
+    return cells
+
+
+def render(cells):
+    lines = ["# Table 2 — min-of-20 ADE/FDE on ETH-UCY (TPU v5e, this framework)",
+             "",
+             "| baseline | " + " | ".join(DATASETS) + " | avg |",
+             "|---|" + "---|" * (len(DATASETS) + 1)]
+    for b in BASELINES:
+        row, vals = [], []
+        for d in DATASETS:
+            c = cells.get(f"{b}/{d}")
+            if c:
+                row.append(f"{c['ADE']:.3f}/{c['FDE']:.3f}")
+                vals.append((c["ADE"], c["FDE"]))
+            else:
+                row.append("—")
+        if len(vals) == len(DATASETS):
+            avg = (sum(v[0] for v in vals) / 5, sum(v[1] for v in vals) / 5)
+            row.append(f"**{avg[0]:.3f}/{avg[1]:.3f}**")
+        else:
+            row.append("—")
+        lines.append(f"| {b} | " + " | ".join(row) + " |")
+    n = len([1 for b in BASELINES for d in DATASETS if f"{b}/{d}" in cells])
+    lines += ["", f"{n}/50 cells trained; see RESULTS.md for details and the "
+                  "paper-range comparison."]
+    return "\n".join(lines) + "\n"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(HERE, "docs", "TABLE2.md"))
+    args = ap.parse_args()
+    md = render(load_cells())
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
