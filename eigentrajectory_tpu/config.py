@@ -67,6 +67,10 @@ class ExpConfig:
     micro_batches: int = 1             # split sequenced batches into M chunks with
                                        # host-side grad accumulation (identical math,
                                        # 1/M the compiled graph — for XL predictors)
+    warmup_epochs: int = 0             # linear LR warmup over the first N epochs
+                                       # (training-dynamics experiment knob)
+    wd_exclude: tuple = ()             # param-path substrings excluded from AdamW
+                                       # weight decay (e.g. ("out_fc",))
 
     # Free-form per-baseline overrides (subsumes optimal.yaml etc.).
     baseline_config: Dict[str, Any] = dataclasses.field(default_factory=dict)

@@ -124,7 +124,22 @@ class ETJaxTrainer:
         chain = [optax.zero_nans()]
         if cfg.clip_grad is not None:
             chain.append(optax.clip_by_global_norm(cfg.clip_grad))
-        chain.append(optax.inject_hyperparams(optax.adamw)(
+        if cfg.wd_exclude:
+            from flax import traverse_util
+
+            def wd_mask(params):
+                flat = traverse_util.flatten_dict(params)
+                return traverse_util.unflatten_dict({
+                    k: not any(sub in "/".join(map(str, k))
+                               for sub in cfg.wd_exclude)
+                    for k in flat})
+
+            def make_adamw(learning_rate, weight_decay):
+                return optax.adamw(learning_rate, weight_decay=weight_decay,
+                                   mask=wd_mask)
+        else:
+            make_adamw = optax.adamw
+        chain.append(optax.inject_hyperparams(make_adamw)(
             learning_rate=cfg.lr, weight_decay=cfg.weight_decay))
         self.tx = optax.chain(*chain)
         self.opt_state = self.tx.init(self.params)
@@ -422,10 +437,13 @@ class ETJaxTrainer:
 
     # -------------------------------------------------------------- epochs
     def _epoch_lr(self, epoch: int) -> float:
-        if not self.cfg.lr_schd:
-            return self.cfg.lr
-        return self.cfg.lr * (self.cfg.lr_schd_gamma
-                              ** (epoch // self.cfg.lr_schd_step))
+        lr = self.cfg.lr
+        if self.cfg.lr_schd:
+            lr = lr * (self.cfg.lr_schd_gamma
+                       ** (epoch // self.cfg.lr_schd_step))
+        if self.cfg.warmup_epochs > 0:
+            lr = lr * min(1.0, (epoch + 1) / self.cfg.warmup_epochs)
+        return lr
 
     def _set_lr(self, lr: float):
         # The inject_hyperparams state is the last element of the chain tuple;
