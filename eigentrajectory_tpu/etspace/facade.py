@@ -122,7 +122,11 @@ def et_forward(
     obs_ori = (obs_ori - center) * valid_f[None, :]
 
     # --- Prediction via the bridged baseline (model.py:93-95) ---
-    aux.setdefault("ped_valid", ped_valid)
+    # OVERWRITE any placeholder: the predictor's interaction graph must see
+    # exactly the scene's real peds (a stale all-ones template here once let
+    # padded "ghost" peds join the graph — caught by the reference-checkpoint
+    # import eval, tests/test_interop.py::test_trainer_eval_matches_plain_path).
+    aux["ped_valid"] = ped_valid
     pred_out = predictor_fn(c_obs, obs_ori, aux)       # (k, N, s)
     extras = None
     if isinstance(pred_out, tuple):
