@@ -5,7 +5,7 @@ import os
 
 import pytest
 
-from eigentrajectory_tpu.config import load_config
+from eigentrajectory_tpu.config import load_config, resolve_dataset_dir
 from eigentrajectory_tpu.train.trainer import ETJaxTrainer
 
 CASES = [
@@ -23,7 +23,7 @@ def test_trained_checkpoint_quality(tag, baseline, dataset, max_ade, max_fde):
     if not (os.path.exists(ckpt) and os.path.exists(cfg_path)):
         pytest.skip("trained checkpoint not available")
     cfg = load_config(cfg_path, checkpoint_dir="./checkpoints")
-    if not os.path.isdir(os.path.join(cfg.dataset_dir, dataset)):
+    if not os.path.isdir(resolve_dataset_dir(cfg.dataset_dir, dataset)):
         pytest.skip("datasets not available")
     tr = ETJaxTrainer(cfg, tag=tag, test_mode=True)
     tr.load_model()
