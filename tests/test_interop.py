@@ -83,21 +83,24 @@ def test_import_unknown_baseline_raises():
         import_state_dict("no-such-baseline", {})
 
 
-def test_trainer_eval_matches_plain_path(rng):
-    """Regression for the ghost-ped bug: the trainer's batched/padded eval
-    step must equal the plain per-scene facade forward — i.e. the predictor's
-    interaction graph sees exactly the scene's real peds, with padded slots
-    excluded (et_forward overwrites any aux['ped_valid'] placeholder)."""
+@pytest.mark.parametrize("baseline", ["stgcnn", "pecnet"])
+def test_trainer_eval_matches_plain_path(rng, baseline):
+    """Regression for the ghost-ped bug in BOTH batching regimes: the
+    trainer's batched/padded eval step must equal the plain per-scene facade
+    forward — i.e. the predictor's interaction graph sees exactly the scene's
+    real peds, with padded slots excluded (et_forward overwrites any
+    aux['ped_valid'] placeholder)."""
     import jax
 
     from eigentrajectory_tpu.config import ExpConfig
     from eigentrajectory_tpu.data.synthetic import make_synthetic_data
     from eigentrajectory_tpu.train.trainer import ETJaxTrainer
 
-    cfg = ExpConfig(baseline="stgcnn", dataset="synthetic", batch_size=4,
+    cfg = ExpConfig(baseline=baseline, dataset="synthetic", batch_size=4,
                     checkpoint_dir="/tmp/et_eval_parity")
     data = tuple(make_synthetic_data(n_scenes=8, seed=s) for s in (0, 1, 2))
-    tr = ETJaxTrainer(cfg, tag="evalparity", test_mode=True, datasets=data)
+    tr = ETJaxTrainer(cfg, tag=f"evalparity-{baseline}", test_mode=True,
+                      datasets=data)
     tr.init_descriptor()
 
     batched = tr.test(eval_batch=4)
@@ -106,9 +109,13 @@ def test_trainer_eval_matches_plain_path(rng):
     ades = []
     for i in range(tr.data_test.num_scenes):
         obs, gt = tr.data_test.scene(i)
-        valid = jnp.ones(obs.shape[0], bool)
+        n = obs.shape[0]
+        valid = jnp.ones(n, bool)
+        aux = {"ped_valid": valid, "num_samples": cfg.num_samples,
+               "scene_ids": jnp.zeros(n, jnp.int32),
+               "scene_mask": jnp.ones((n, n), bool)}
         out = et_forward(tr.et, pf, jnp.asarray(obs), valid, cfg.static_dist,
-                         aux={"ped_valid": valid})
+                         aux=aux)
         recon = np.asarray(out["recon_traj"])
         ades.extend(np.linalg.norm(recon - gt[None], axis=-1)
                     .mean(-1).min(0).tolist())
