@@ -30,3 +30,31 @@ def test_trained_checkpoint_quality(tag, baseline, dataset, max_ade, max_fde):
     results = tr.test()
     assert results["ADE"] < max_ade, results
     assert results["FDE"] < max_fde, results
+
+
+def test_matches_measured_reference_targets():
+    """Compare our trained Table-2 cells against MEASURED reference numbers
+    (the reference implementation trained by benchmarks/train_reference.py,
+    recorded in benchmarks/reference_measured.json). Ours must be within
+    +0.01 ADE / +0.015 FDE of the measured reference — or better."""
+    import json
+
+    ref_path = "benchmarks/reference_measured.json"
+    ours_path = "benchmarks/table2_sweep.json"
+    if not (os.path.exists(ref_path) and os.path.exists(ours_path)):
+        pytest.skip("measured targets not available")
+    with open(ref_path) as f:
+        ref = json.load(f)
+    with open(ours_path) as f:
+        ours = json.load(f)
+    compared = 0
+    for key, entry in ref.items():
+        if entry.get("num_epochs", 0) < 256:
+            continue  # probes are not targets
+        cell = ours.get(f"{entry['baseline']}/{entry['dataset']}")
+        if not cell or "ADE" not in cell:
+            continue
+        compared += 1
+        assert cell["ADE"] <= entry["metrics"]["ADE"] + 0.010, (key, cell)
+        assert cell["FDE"] <= entry["metrics"]["FDE"] + 0.015, (key, cell)
+    assert compared >= 1, "no overlapping measured cells"
