@@ -18,6 +18,7 @@ sharing a tag never overwrite each other.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -55,6 +56,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--cells", nargs="+", default=None,
                     help="explicit baseline:dataset pairs (overrides the grid)")
+    ap.add_argument("--fork", action=argparse.BooleanOptionalAction, default=True,
+                    help="run each cell in a fresh subprocess (memory reclaim)")
     args = ap.parse_args()
 
     if args.cells:
@@ -73,6 +76,29 @@ def main():
             with open(tmp, "w") as f:
                 json.dump(table, f, indent=2)
             os.replace(tmp, args.out)
+
+    # One cell per SUBPROCESS by default: each experiment compiles several XLA
+    # programs whose executables/buffers are never freed in-process (~10 GB
+    # per cell — a 13-cell in-process sweep OOM-killed a 125 GB box), so the
+    # process boundary is the memory reclaim.
+    if args.fork and args.out and len(cells) > 1:
+        for b, d in cells:
+            key = f"{b}/{d}"
+            if key in table and "error" not in table[key]:
+                print(f"=== {key} already done, skipping ===", flush=True)
+                continue
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cells", f"{b}:{d}", "--tag", args.tag, "--out", args.out,
+                 "--config_dir", args.config_dir, "--no-fork"]
+                + (["--epochs", str(args.epochs)] if args.epochs else [])
+                + (["--test-only"] if args.test_only else [])).returncode
+            with open(args.out) as f:
+                table = json.load(f)
+            if key not in table or (rc != 0 and "error" not in table.get(key, {})):
+                table[key] = {"error": f"cell subprocess exited rc={rc}"}
+                flush_out()
+        return
 
     for b, d in cells:
         key = f"{b}/{d}"
