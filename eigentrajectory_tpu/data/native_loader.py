@@ -28,6 +28,7 @@ class _ETLoadResult(ctypes.Structure):
 
 
 _lib = None
+_build_attempted = False
 
 
 def _ensure_built():
@@ -38,13 +39,18 @@ def _ensure_built():
     whenever the source is newer; on any build failure we fall back to the
     (bitwise-identical) Python loader.
     """
+    global _build_attempted
     native_dir = os.path.dirname(_LIB_PATH)
     src = os.path.join(native_dir, "etloader.cpp")
     if not os.path.exists(src):
         return
     stale = (not os.path.exists(_LIB_PATH)
              or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
-    if stale:
+    # A failed build leaves no .so, so staleness never clears — attempt the
+    # build at most once per process rather than re-paying the make timeout
+    # on every _load_lib call.
+    if stale and not _build_attempted:
+        _build_attempted = True
         import subprocess
 
         try:

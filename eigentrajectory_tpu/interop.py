@@ -355,14 +355,19 @@ def import_state_dict(baseline: str, state_dict) -> Tuple[PyTree, PyTree, object
     return to_jnp(params), to_jnp(batch_stats), import_et_params(sd)
 
 
-def import_checkpoint_to_trainer(cfg, pth_path: str, tag: str):
+def import_checkpoint_to_trainer(cfg, pth_path: str, tag: str, unsafe: bool = False):
     """Load a reference .pth, convert, and save as a framework checkpoint
-    under <checkpoint_dir>/<tag>/<dataset>/model_best.msgpack."""
+    under <checkpoint_dir>/<tag>/<dataset>/model_best.msgpack.
+
+    A state_dict is plain tensors, so the restricted unpickler suffices;
+    ``unsafe=True`` (CLI ``--unsafe``) re-enables full pickle for exotic
+    checkpoints the caller explicitly trusts."""
     import torch
 
     from .train.trainer import ETJaxTrainer
 
-    state_dict = torch.load(pth_path, map_location="cpu", weights_only=False)
+    state_dict = torch.load(pth_path, map_location="cpu",
+                            weights_only=not unsafe)
     params, batch_stats, et = import_state_dict(cfg.baseline, state_dict)
     tr = ETJaxTrainer(cfg, tag=tag, test_mode=True)
     tr.params, tr.batch_stats, tr.et = params, batch_stats, et
@@ -381,10 +386,13 @@ def main():
     ap.add_argument("--tag", default="imported")
     ap.add_argument("--test", action="store_true",
                     help="evaluate immediately after importing")
+    ap.add_argument("--unsafe", action="store_true",
+                    help="allow full (arbitrary-code) unpickling of the .pth")
     args = ap.parse_args()
 
     cfg = load_config(args.cfg)
-    tr = import_checkpoint_to_trainer(cfg, args.pth, args.tag)
+    tr = import_checkpoint_to_trainer(cfg, args.pth, args.tag,
+                                      unsafe=args.unsafe)
     print(f"imported {args.pth} -> {tr.checkpoint_dir}")
     if args.test:
         results = tr.test()

@@ -38,6 +38,20 @@ from ..config import ExpConfig, resolve_dataset_dir
 # the TPU analogue is full-f32 matmul passes. These models are tiny, so the
 # accuracy/speed trade goes to accuracy.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: sweep cells run one-per-subprocess (XLA
+# executables leak in-process), which re-pays every compile per cell. The
+# on-disk cache turns repeat compiles of identical graphs (same baseline on a
+# different split, sweep relaunches, bench re-runs) into ~second-scale loads.
+_cache_dir = os.environ.get("ET_JAX_CACHE_DIR",
+                            os.path.join(os.path.dirname(os.path.dirname(
+                                os.path.dirname(os.path.abspath(__file__)))),
+                                ".jax_cache"))
+if _cache_dir and _cache_dir != "off":
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 from ..data.batching import CollatedBatcher, SceneBatcher, max_collated_peds
 from ..data.dataset import augment_trajectory, load_trajectory_data
 from ..etspace.facade import ETParams, calculate_parameters, et_forward
@@ -446,9 +460,15 @@ class ETJaxTrainer:
         return lr
 
     def _set_lr(self, lr: float):
-        # The inject_hyperparams state is the last element of the chain tuple;
-        # its hyperparams dict is mutable and part of the opt_state pytree.
-        self.opt_state[-1].hyperparams["learning_rate"] = jnp.asarray(
+        # Locate the inject_hyperparams state by structure rather than by
+        # position in the chain tuple, so appending transforms after
+        # inject_hyperparams can't silently break (or stale) the LR update.
+        states = [s for s in self.opt_state
+                  if hasattr(s, "hyperparams")
+                  and "learning_rate" in getattr(s, "hyperparams", {})]
+        assert len(states) == 1, (
+            f"expected exactly one inject_hyperparams state, found {len(states)}")
+        states[0].hyperparams["learning_rate"] = jnp.asarray(
             lr, dtype=jnp.float32)
 
     def _train_batches(self, shuffle=True, seed=0):

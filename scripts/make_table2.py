@@ -1,6 +1,7 @@
 """Render the full Table-2 matrix (10 baselines x 5 splits) as markdown from
-the round-1 results (benchmarks/table2_round1.json, transcribed from trained
-runs) merged with the ongoing sweep output (benchmarks/table2_sweep.json).
+the post-fix sweep output (benchmarks/table2_sweep.json) ONLY. The pre-fix
+"ghost regime" round-1/2 cells (table2_ghost_*.json) are archived and
+deliberately excluded — they trained under wrong interaction-graph semantics.
 
 Usage: python scripts/make_table2.py [--out docs/TABLE2.md]
 Cells still missing or errored print as "—". Per-baseline ETH-UCY averages are

@@ -28,6 +28,19 @@ from eigentrajectory_tpu.config import load_config
 from eigentrajectory_tpu.train.trainer import ETJaxTrainer
 
 
+def regen_table2(out_path):
+    """Keep docs/TABLE2.md in sync with the sweep output (it went stale in
+    round 2 when make_table2 wasn't re-run after late sweep commits)."""
+    if not out_path or "table2" not in os.path.basename(out_path):
+        return
+    try:
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "make_table2.py")], check=False)
+    except Exception as e:
+        print(f"(table2 regen failed: {e})", flush=True)
+
+
 def run_one(baseline: str, dataset: str, tag: str, epochs, test_only: bool,
             config_dir: str):
     cfg = load_config(os.path.join(config_dir, f"eigentrajectory-{baseline}-{dataset}.json"))
@@ -93,11 +106,15 @@ def main():
                  "--config_dir", args.config_dir, "--no-fork"]
                 + (["--epochs", str(args.epochs)] if args.epochs else [])
                 + (["--test-only"] if args.test_only else [])).returncode
-            with open(args.out) as f:
-                table = json.load(f)
+            # The subprocess may die (OOM/SIGKILL) before ever creating the
+            # output file on a fresh run — fall back to the in-memory table.
+            if os.path.exists(args.out):
+                with open(args.out) as f:
+                    table = json.load(f)
             if key not in table or (rc != 0 and "error" not in table.get(key, {})):
                 table[key] = {"error": f"cell subprocess exited rc={rc}"}
                 flush_out()
+        regen_table2(args.out)
         return
 
     for b, d in cells:
@@ -125,6 +142,7 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             json.dump(table, f, indent=2)
+        regen_table2(args.out)
 
 
 if __name__ == "__main__":
