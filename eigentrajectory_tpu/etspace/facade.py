@@ -115,11 +115,25 @@ def et_forward(
     c_obs = jax.lax.stop_gradient(c_obs)
 
     # --- Absolute coordinate, scene-centered (model.py:85-90) ---
+    # The reference subtracts the mean origin of the whole forward batch:
+    # one scene per forward in the sequenced regime and at eval
+    # (trainer.py:118), the full multi-scene collated batch during collated
+    # training. `center_scene_ids` (set by the packed eval path) reproduces
+    # the per-scene mean via a segment mean so many scenes can share one
+    # dispatch without changing the numbers.
     obs_ori = p.ori[:, 0, :].T                        # (2, N)
     valid_f = ped_valid.astype(obs_ori.dtype)
     denom = jnp.maximum(valid_f.sum(), 1.0)
-    center = (obs_ori * valid_f[None, :]).sum(axis=1, keepdims=True) / denom
-    obs_ori = (obs_ori - center) * valid_f[None, :]
+    center_sid = aux.pop("center_scene_ids", None)
+    if center_sid is None:
+        center = (obs_ori * valid_f[None, :]).sum(axis=1, keepdims=True) / denom
+        obs_ori = (obs_ori - center) * valid_f[None, :]
+    else:
+        same = ((center_sid[:, None] == center_sid[None, :])
+                .astype(obs_ori.dtype) * valid_f[None, :])          # (N, N)
+        cnt = jnp.maximum(same.sum(axis=1), 1.0)                    # (N,)
+        centers = (same @ (obs_ori.T * valid_f[:, None])) / cnt[:, None]  # (N, 2)
+        obs_ori = (obs_ori - centers.T) * valid_f[None, :]
 
     # --- Prediction via the bridged baseline (model.py:93-95) ---
     # OVERWRITE any placeholder: the predictor's interaction graph must see

@@ -186,8 +186,15 @@ class AgentFormerLight(nn.Module):
     traj_scale: float = 1.0
 
     @nn.compact
-    def __call__(self, pre_motion, valid, train: bool = False):
+    def __call__(self, pre_motion, valid, scene_ids=None, train: bool = False):
         # pre_motion: (T, N, 1) coefficient "positions"; valid: (N,).
+        # scene_ids (optional, packed eval only): the reference evaluates one
+        # scene per forward (utils/trainer.py:118), where its all-zeros
+        # agent_mask means full attention *within that scene*. Packing several
+        # scenes into one dispatch reproduces that exactly by masking
+        # cross-scene attention; training omits scene_ids because the
+        # reference's collated training really does attend across the whole
+        # collated batch (agent_mask stays all-zeros there, model.py:530-534).
         t, n, _ = pre_motion.shape
         tf = self.future_frames
 
@@ -205,6 +212,9 @@ class AgentFormerLight(nn.Module):
                                    -jnp.inf, 0.0)                  # (N, N)
         else:
             agent_mask = jnp.zeros((n, n))
+        if scene_ids is not None:
+            cross_scene = scene_ids[:, None] != scene_ids[None, :]
+            agent_mask = agent_mask + jnp.where(cross_scene, -1e9, 0.0)
 
         def pad_bias(lt, ls):
             # generate_mask (model.py:26-29): the (N, N) agent mask tiles over
@@ -264,6 +274,9 @@ def prepare(c_obs: jnp.ndarray, obs_ori: jnp.ndarray, aux: Dict) -> Tuple:
     valid = aux["ped_valid"]
     obs = jnp.concatenate([c_obs, obs_ori], axis=0)
     obs = jax.lax.stop_gradient(zero_invalid(obs, valid, 1))
+    if aux.get("isolate_scenes", False):
+        # Packed eval: restore the reference's per-scene attention scope.
+        return (obs[:, :, None], valid, aux["scene_ids"])
     return (obs[:, :, None], valid)
 
 
@@ -273,3 +286,6 @@ def finalize(output_data: jnp.ndarray, aux: Dict) -> jnp.ndarray:
 
 
 BATCHING = "collated"
+# Packed-eval cap: attention spans every token in the dispatch, so the score
+# matrices grow O((T*P)^2); keep eval packing at the training batch scale.
+EVAL_PED_CAP = 128

@@ -436,6 +436,12 @@ class ETJaxTrainer:
         else:
             def eval_step(params, batch_stats, obs, pred, valid, scene_ids):
                 aux = self._make_aux_template(obs.shape[0], scene_ids)
+                # Reference eval forwards one scene at a time, so its batch
+                # mean-centering of origins (model.py:90) and full-batch
+                # attention scopes are per-scene there; packed eval must
+                # reproduce both per scene.
+                aux["center_scene_ids"] = scene_ids
+                aux["isolate_scenes"] = True
                 coef = self._scene_forward(params, batch_stats, obs, None, valid,
                                            None, aux, train=False,
                                            return_coefficients=True)
@@ -484,6 +490,14 @@ class ETJaxTrainer:
             self._train_step = self._build_train_step()
         self._set_lr(self._epoch_lr(epoch))
         total, count = 0.0, 0
+        # Defer the loss host-sync to epoch end: each float(loss) is a full
+        # round trip to the (possibly tunneled) chip, while the device-side
+        # step chain is already serialized through params/opt_state. Async
+        # dispatch overlaps host prep + H2D of step n+1 with compute of n.
+        # step_timer therefore measures dispatch, not device latency; the
+        # epoch_timer (and bench_extended's whole-epoch numbers) are the
+        # wall-clock source of truth.
+        losses = []
         for batch in self._train_batches(shuffle=True, seed=self.cfg.seed + epoch):
             self.rng, step_rng = jax.random.split(self.rng)
             if self.batching == "sequenced":
@@ -499,8 +513,11 @@ class ETJaxTrainer:
             with ctx:
                 self.params, self.batch_stats, self.opt_state, loss = self._train_step(
                     self.params, self.batch_stats, self.opt_state, *args, step_rng)
-                total += float(loss)
+                losses.append(loss)
             count += 1
+        # Identical left-to-right addition order to the per-step sync loop.
+        for loss in losses:
+            total += float(loss)
         # Match the reference's normalization: loss divided by the number of
         # scenes (sequenced, trainer.py:154) or batches (collated, :233).
         if self.batching == "sequenced":
@@ -513,21 +530,29 @@ class ETJaxTrainer:
     def valid(self, epoch: int) -> float:
         if not hasattr(self, "_val_step_fn") or self._val_step_fn is None:
             self._val_step_fn = self._build_val_step()
-        total = 0.0
+        # Dispatch every val batch before the first host sync: JAX dispatch is
+        # async, so the per-batch float() pattern would serialize host prep
+        # with device compute (and round-trip the tunnel once per batch).
+        parts = []
         if self.batching == "sequenced":
             batcher = SceneBatcher(self.data_val, self.cfg.batch_size, False, self.n_max)
             for batch in batcher:
-                total += float(self._val_step_fn(
+                parts.append(self._val_step_fn(
                     self.params, self.batch_stats, jnp.asarray(batch.obs),
                     jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
                     jnp.asarray(batch.scene_valid)))
         else:
             batcher = CollatedBatcher(self.data_val, self.cfg.batch_size, False, self.p_max)
             for batch in batcher:
-                total += float(self._val_step_fn(
+                parts.append(self._val_step_fn(
                     self.params, self.batch_stats, jnp.asarray(batch.obs),
                     jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
                     jnp.asarray(batch.scene_ids)))
+        # Same left-to-right float addition order as the one-sync-per-batch
+        # loop, so the logged val loss is bit-identical.
+        total = 0.0
+        for p in parts:
+            total += float(p)
         val = total / max(1, int(self.data_val.num_peds_in_seq.sum()))
         self.log["val_loss"].append(val)
         return val
@@ -575,39 +600,47 @@ class ETJaxTrainer:
                   flush=True)
 
     # ---------------------------------------------------------------- test
-    def test(self, eval_batch: int = 64) -> Dict[str, float]:
+    def test(self, eval_batch: int = 256,
+             eval_ped_batch: Optional[int] = None) -> Dict[str, float]:
         """Evaluate min-of-S metrics over the test split (trainer.py:172-195).
 
-        Scenes are evaluated `eval_batch` at a time through one compiled step
-        (the reference runs one scene per step)."""
+        The reference runs one scene per step; here scenes are packed into a
+        few large static-shape dispatches — `eval_batch` scenes per dispatch
+        (sequenced) or greedy ped-packing to `eval_ped_batch` peds (collated,
+        exactly the training batcher). Cross-scene isolation is preserved by
+        the per-scene vmap (sequenced) / block-diagonal scene_ids masks
+        (collated), so per-ped metrics match the one-scene-per-dispatch path;
+        all dispatches are issued before the first host sync, which is what
+        turns a tunnel-latency-bound loop into a device-bound one."""
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         meters = {k: M.AverageMeter() for k in ("ADE", "FDE", "TCC", "COL")}
+        outs = []
         if self.batching == "sequenced":
             batcher = SceneBatcher(self.data_test, eval_batch, False, self.n_max)
             for batch in batcher:
-                ades, fdes, tccs, cols = self._eval_step(
+                outs.append((self._eval_step(
                     self.params, self.batch_stats, jnp.asarray(batch.obs),
                     jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
-                    jnp.asarray(batch.scene_valid))
-                v = batch.ped_valid
-                for name, val in zip(("ADE", "FDE", "TCC", "COL"),
-                                     (ades, fdes, tccs, cols)):
-                    meters[name].extend(np.asarray(val)[v])
+                    jnp.asarray(batch.scene_valid)), batch.ped_valid))
         else:
-            # Reference tests one scene per batch in the collated regime too
-            # (trainer.py:118, loader_test batch_size=1); pack scenes the same
-            # way but pad to p_max for a single compiled shape.
-            batcher = CollatedBatcher(self.data_test, 1, False, self.n_max)
+            if eval_ped_batch is None:
+                # Attention-over-all-tokens models (AgentFormer) grow O(P^2)
+                # with the packed size; cap them at their training batch scale.
+                eval_ped_batch = getattr(self.baseline, "EVAL_PED_CAP", 512)
+            batcher = CollatedBatcher(
+                self.data_test, eval_ped_batch, False,
+                max_collated_peds(self.data_test, eval_ped_batch))
             for batch in batcher:
-                ades, fdes, tccs, cols = self._eval_step(
+                outs.append((self._eval_step(
                     self.params, self.batch_stats, jnp.asarray(batch.obs),
                     jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
-                    jnp.asarray(batch.scene_ids))
-                v = batch.ped_valid
-                for name, val in zip(("ADE", "FDE", "TCC", "COL"),
-                                     (ades, fdes, tccs, cols)):
-                    meters[name].extend(np.asarray(val)[v])
+                    jnp.asarray(batch.scene_ids)), batch.ped_valid))
+        jax.block_until_ready([o for o, _ in outs])
+        for (ades, fdes, tccs, cols), v in outs:
+            for name, val in zip(("ADE", "FDE", "TCC", "COL"),
+                                 (ades, fdes, tccs, cols)):
+                meters[name].extend(np.asarray(val)[v])
         return {k: m.mean() for k, m in meters.items()}
 
     # --------------------------------------------------------- checkpoints

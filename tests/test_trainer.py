@@ -53,6 +53,23 @@ def test_fit_and_test(tiny_trainer, baseline):
         assert np.isfinite(results[k]), results
 
 
+@pytest.mark.parametrize("baseline", ["stgcnn", "pecnet", "agentformer", "lbebm"])
+def test_packed_eval_matches_per_scene(tiny_trainer, baseline):
+    """test() packs many scenes per dispatch; metrics must match the
+    reference's one-scene-per-step evaluation (trainer.py:118,172-195) —
+    cross-scene isolation comes from the vmap rows (sequenced) or the
+    block-diagonal scene_ids masks (collated)."""
+    tr = tiny_trainer(baseline)
+    tr.init_descriptor()
+    tr.fit(num_epochs=1, verbose=False)
+    packed = tr.test()
+    # eval_batch/eval_ped_batch = 1 -> exactly one scene per dispatch.
+    per_scene = tr.test(eval_batch=1, eval_ped_batch=1)
+    for k in packed:
+        np.testing.assert_allclose(packed[k], per_scene[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_loss_decreases(tiny_trainer):
     tr = tiny_trainer("stgcnn")
     tr.init_descriptor()
