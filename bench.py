@@ -63,6 +63,21 @@ def main():
         times.append(time.perf_counter() - t0)
     best = min(times)
     throughput = n_peds / best
+    # Tunnel variance showed up as a silent 10% cross-round drop (r01 26.8k ->
+    # r02 24.1k); keep every sample so spread vs regression is decidable.
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "bench_history.json")
+    try:
+        hist = json.load(open(hist_path)) if os.path.exists(hist_path) else []
+        hist.append({
+            "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "traj_per_s_best": round(throughput, 2),
+            "repeat_times_s": [round(t, 4) for t in times],
+            "traj_per_s_each": [round(n_peds / t, 1) for t in times],
+        })
+        json.dump(hist, open(hist_path, "w"), indent=2)
+    except Exception:
+        pass  # history is best-effort; never break the driver's bench run
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "reference_baseline.json")
