@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--dataset", default="hotel")
     ap.add_argument("--baseline", default="stgcnn")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: reference_baseline.json, "
+                         "the bench.py denominator — override for additional "
+                         "configs so the flagship denominator is preserved)")
     args = ap.parse_args()
 
     sys.path.insert(0, REFERENCE)
@@ -76,8 +80,8 @@ def main():
         "hardware": "torch-cpu (reference GPU code with .cuda() no-op; "
                     "reference is launch-overhead-bound so CPU is a close proxy)",
     }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "reference_baseline.json")
+    out = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "reference_baseline.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

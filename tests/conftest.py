@@ -9,6 +9,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # conftest runs), so overriding JAX_PLATFORMS via env is not enough — update
 # the live config instead.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compilation cache under tests: the cache dir is shared with
+# the TPU relay, whose host compiles XLA:CPU AOT entries with different
+# machine features (loading them here risks SIGILL; observed as a
+# cpu_aot_loader warning). The cache's payoff is TPU sweep compiles only.
+os.environ["ET_JAX_CACHE_DIR"] = "off"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
