@@ -41,7 +41,9 @@ def _fit_resumable(tr, hp, torch, args):
     resume_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "ref_resume")
     os.makedirs(resume_dir, exist_ok=True)
-    snap = os.path.join(resume_dir, f"{args.baseline}-{args.dataset}.pt")
+    suffix = "" if getattr(args, "seed", 0) == 0 else f"-seed{args.seed}"
+    snap = os.path.join(resume_dir,
+                        f"{args.baseline}-{args.dataset}{suffix}.pt")
 
     start = 0
     if os.path.exists(snap):
@@ -106,6 +108,10 @@ def main():
                     help="snapshot model/optimizer/scheduler/RNG each epoch to "
                          "benchmarks/ref_resume/ and restore if present, so "
                          ">12h reference runs can span driver rounds")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="override the reference's fixed seed 0 — used to "
+                         "measure the reference's own run-to-run spread "
+                         "(results keyed <baseline>-<dataset>-seed<N>)")
     args = ap.parse_args()
 
     out_path = args.out or os.path.join(
@@ -147,6 +153,15 @@ def main():
     from utils import trainer as ref_trainer
     from utils.utils import DotDict, get_exp_config
 
+    if args.seed != 0:
+        # ETTrainer.__init__ hardcodes reproducibility_settings(seed=0)
+        # (utils/trainer.py:16, imported via `from . import *`); patch the
+        # name it resolves so every RNG (torch/numpy/python) seeds from
+        # args.seed before model construction.
+        _orig_repro = ref_trainer.reproducibility_settings
+        ref_trainer.reproducibility_settings = (
+            lambda seed=0: _orig_repro(seed=args.seed))
+
     cfg_path = f"{REFERENCE}/config/eigentrajectory-{{baseline}}-{args.dataset}.json"
     hp = get_exp_config(cfg_path)
     hp.baseline = args.baseline
@@ -183,15 +198,17 @@ def main():
         "baseline": args.baseline,
         "dataset": args.dataset,
         "num_epochs": hp.num_epochs,
+        "seed": args.seed,
         "metrics": {k: float(v) for k, v in metrics.items()},
         "train_seconds": round(train_s, 1),
-        "hardware": "torch-cpu (reference code, .cuda() no-op, seed 0)",
+        "hardware": f"torch-cpu (reference code, .cuda() no-op, seed {args.seed})",
     }
     data = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             data = json.load(f)
-    data[f"{args.baseline}-{args.dataset}"] = entry
+    suffix = "" if args.seed == 0 else f"-seed{args.seed}"
+    data[f"{args.baseline}-{args.dataset}{suffix}"] = entry
     with open(out_path, "w") as f:
         json.dump(data, f, indent=2, sort_keys=True)
     print(json.dumps(entry))
