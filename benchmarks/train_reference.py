@@ -112,6 +112,14 @@ def main():
                     help="override the reference's fixed seed 0 — used to "
                          "measure the reference's own run-to-run spread "
                          "(results keyed <baseline>-<dataset>-seed<N>)")
+    ap.add_argument("--eval-snapshot", action="store_true",
+                    help="instead of training, load the resumable snapshot in "
+                         "benchmarks/ref_resume/ and test() its best-val-so-far "
+                         "checkpoint — a measured MID-TRAINING reference target "
+                         "(keyed <baseline>-<dataset>@ep<N>) for runs too slow "
+                         "to reach 256 epochs inside one round. Safe to run "
+                         "while the training process is live: the snapshot is "
+                         "copied first and a distinct checkpoint tag is used.")
     args = ap.parse_args()
 
     out_path = args.out or os.path.join(
@@ -178,10 +186,57 @@ def main():
     trainer_names = [s for s in ref_trainer.__dict__.keys()
                      if args.baseline in s.lower()]
     trainer_cls = getattr(ref_trainer, trainer_names[0])
+    if args.eval_snapshot:
+        # Distinct tag => distinct checkpoint_dir, so writing model_best.pth
+        # below can never race with the live training process using args.tag.
+        args.tag = args.tag + "-snapeval"
     targs = DotDict({"tag": args.tag, "test": False})
     tr = trainer_cls(base_model=bmod.TrajectoryPredictor, model=EigenTrajectory,
                      hook_func=hooks, args=targs, hyper_params=hp)
     tr.init_descriptor()
+
+    if args.eval_snapshot:
+        import shutil
+
+        resume_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "ref_resume")
+        suffix = "" if args.seed == 0 else f"-seed{args.seed}"
+        snap = os.path.join(resume_dir,
+                            f"{args.baseline}-{args.dataset}{suffix}.pt")
+        # Copy first: the live --resume process rewrites the snapshot after
+        # every epoch; torch.load on the file being rewritten could tear.
+        snap_copy = snap + ".evalcopy"
+        shutil.copyfile(snap, snap_copy)
+        state = torch.load(snap_copy, weights_only=False)
+        os.remove(snap_copy)
+        epoch = state["epoch"]
+        if state.get("best_model") is None:
+            raise SystemExit(f"snapshot {snap} has no best-val checkpoint yet")
+        os.makedirs(tr.checkpoint_dir, exist_ok=True)
+        with open(tr.checkpoint_dir + "model_best.pth", "wb") as f:
+            f.write(state["best_model"])
+        tr.load_model()
+        metrics = tr.test()
+        print(f"snapshot test metrics @epoch {epoch}:", metrics)
+        entry = {
+            "baseline": args.baseline,
+            "dataset": args.dataset,
+            "epochs_done": epoch + 1,
+            "num_epochs": hp.num_epochs,
+            "seed": args.seed,
+            "metrics": {k: float(v) for k, v in metrics.items()},
+            "hardware": ("torch-cpu (reference code, .cuda() no-op, "
+                         f"seed {args.seed}) — MID-TRAINING snapshot"),
+        }
+        data = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                data = json.load(f)
+        data[f"{args.baseline}-{args.dataset}{suffix}@ep{epoch + 1}"] = entry
+        with open(out_path, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+        print(json.dumps(entry))
+        return
 
     t0 = time.perf_counter()
     if args.resume:

@@ -92,6 +92,14 @@ def test_matches_measured_reference_targets():
     for key, entry in ref.items():
         if entry.get("num_epochs", 0) < 256:
             continue  # probes are not targets
+        # Mid-training snapshots ("@epN" keys, epochs_done < num_epochs) DO
+        # count as reference draws: they are real measured numbers the
+        # reference's best-val selection produced, and for the slow CPU runs
+        # (agentformer-zara2 ~30 min/epoch) they are the only measured
+        # arbiter available inside a round. The @ep34 agentformer-zara2
+        # snapshot (0.16622/0.28897) matches our full run (0.167/0.289),
+        # resolving the two-round-old "paper says ~0.14" question in favor
+        # of "the reference's own code lands ≈0.166 here".
         targets.setdefault((entry["baseline"], entry["dataset"]), []).append(
             entry["metrics"])
     compared = 0
