@@ -1,0 +1,89 @@
+"""Break down where the sequenced train-step's ~400 s TPU compile goes.
+
+Round-3 finding: the identical StableHLO graph (2,834 lines) compiles in
+~2 s on XLA:CPU but ~398 s on the (axon-tunneled) TPU backend
+(bench_extended.json train_compile_epoch_s), while the collated regime's
+train step compiles in ~10 s. The asymmetry is therefore TPU-backend- (or
+compile-service-) specific, not trace-size. This probe times lower() and
+compile() separately for the train/val/eval steps so the expensive program
+is identified, and can A/B structural variants:
+
+  python benchmarks/compile_probe.py [--baseline stgcnn] [--dataset hotel]
+      [--no-cache]      # bypass the persistent compilation cache
+      [--dump DIR]      # XLA pass-level dump (--xla_dump_to)
+
+Run only when the chip is idle (one TPU process at a time).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", default="stgcnn")
+    ap.add_argument("--dataset", default="hotel")
+    ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--dump", default=None)
+    args = ap.parse_args()
+
+    if args.no_cache:
+        os.environ["ET_JAX_CACHE_DIR"] = "off"
+    if args.dump:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_dump_to={args.dump}")
+
+    import jax
+    import jax.numpy as jnp
+
+    from eigentrajectory_tpu.config import load_config
+    from eigentrajectory_tpu.data.batching import (CollatedBatcher,
+                                                   SceneBatcher,
+                                                   max_collated_peds)
+    from eigentrajectory_tpu.train.trainer import ETJaxTrainer
+
+    cfg = load_config(
+        f"configs/eigentrajectory-{args.baseline}-{args.dataset}.json",
+        checkpoint_dir="/tmp/et_compile_probe")
+    tr = ETJaxTrainer(cfg, tag="cprobe", test_mode=False)
+    tr.init_descriptor()
+    print("backend:", jax.default_backend())
+
+    step = tr._build_train_step()
+    if tr.batching == "sequenced":
+        b = next(iter(SceneBatcher(tr.data_train, cfg.batch_size, False, tr.n_max)))
+        bargs = (jnp.asarray(b.obs), jnp.asarray(b.pred),
+                 jnp.asarray(b.ped_valid), jnp.asarray(b.scene_valid))
+    else:
+        b = next(iter(CollatedBatcher(
+            tr.data_train, cfg.batch_size, False, tr.p_max, drop_last=True)))
+        bargs = (jnp.asarray(b.obs), jnp.asarray(b.pred),
+                 jnp.asarray(b.ped_valid), jnp.asarray(b.scene_ids))
+    full = (tr.params, tr.batch_stats, tr.opt_state) + bargs + (
+        jax.random.PRNGKey(0),)
+
+    t0 = time.perf_counter()
+    low = step.lower(*full)
+    t1 = time.perf_counter()
+    comp = low.compile()
+    t2 = time.perf_counter()
+    print(f"train_step  lower {t1-t0:7.1f}s  compile {t2-t1:7.1f}s  "
+          f"hlo_lines {low.as_text().count(chr(10))}")
+    del comp
+
+    for name, build in (("val_step", tr._build_val_step),):
+        fn = build()
+        t0 = time.perf_counter()
+        low = fn.lower(tr.params, tr.batch_stats, *bargs)
+        t1 = time.perf_counter()
+        low.compile()
+        t2 = time.perf_counter()
+        print(f"{name:10s}  lower {t1-t0:7.1f}s  compile {t2-t1:7.1f}s  "
+              f"hlo_lines {low.as_text().count(chr(10))}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,19 +57,35 @@ def tcc(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(corr[:, :, 0, 1], axis=0)               # (N,)
 
 
+def _dense_window(pred: jnp.ndarray) -> jnp.ndarray:
+    """First 3*num_interp+2 densely-interpolated positions (metrics.py:139-143).
+
+    Only the first ceil((Td-1)/num_interp) = 4 trajectory segments contribute
+    to the Td=14 window, so interpolation stops there instead of densifying
+    all T-1 segments — the reference densifies everything then slices, and
+    XLA reproduced that faithfully as the eval step's single largest fusion
+    ((B,S,45,N,2) built, (B,S,14,N,2) used). The cumsum prefix is unchanged,
+    so the window is bit-identical.
+    """
+    num_interp = 4
+    td = 3 * num_interp + 2
+    nseg = -(-(td - 1) // num_interp)
+    p = jnp.transpose(pred, (0, 2, 1, 3))                   # (S, T, N, 2)
+    fp = p[:, :1]                                           # (S, 1, N, 2)
+    rel = (p[:, 1:nseg + 1] - p[:, :nseg]) / num_interp     # (S, nseg, N, 2)
+    rel_dense = jnp.repeat(rel, num_interp, axis=1)
+    dense = jnp.concatenate([fp, rel_dense], axis=1).cumsum(axis=1)
+    return dense[:, :td]                                    # (S, Td, N, 2)
+
+
 def col(pred: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Collision rate % per ped (metrics.py:133-155), masked for padding.
 
     pred: (S, N, T, 2); valid: (N,) bool. GT is unused (as in the reference).
     """
     num_interp, thres = 4, 0.2
-    p = jnp.transpose(pred, (0, 2, 1, 3))                   # (S, T, N, 2)
-    s, t, n, _ = p.shape
-    fp = p[:, :1]                                           # (S, 1, N, 2)
-    rel = p[:, 1:] - p[:, :-1]                              # (S, T-1, N, 2)
-    rel_dense = jnp.repeat(rel / num_interp, num_interp, axis=1)
-    dense = jnp.concatenate([fp, rel_dense], axis=1).cumsum(axis=1)
-    window = dense[:, : 3 * num_interp + 2]                 # (S, Td, N, 2)
+    n = pred.shape[1]
+    window = _dense_window(pred)                            # (S, Td, N, 2)
     diff = window[:, :, :, None, :] - window[:, :, None, :, :]
     dist = jnp.linalg.norm(diff, axis=-1)                   # (S, Td, N, N)
     # Exclude self-pairs and any pair touching an invalid slot.
@@ -94,13 +110,8 @@ def col_scene_masked(
     pred: (S, N, T, 2); valid: (N,); same_scene: (N, N) bool.
     """
     num_interp, thres = 4, 0.2
-    p = jnp.transpose(pred, (0, 2, 1, 3))
-    s, t, n, _ = p.shape
-    fp = p[:, :1]
-    rel = p[:, 1:] - p[:, :-1]
-    rel_dense = jnp.repeat(rel / num_interp, num_interp, axis=1)
-    dense = jnp.concatenate([fp, rel_dense], axis=1).cumsum(axis=1)
-    window = dense[:, : 3 * num_interp + 2]
+    n = pred.shape[1]
+    window = _dense_window(pred)
     diff = window[:, :, :, None, :] - window[:, :, None, :, :]
     dist = jnp.linalg.norm(diff, axis=-1)
     pair_ok = same_scene & valid[:, None] & valid[None, :]

@@ -374,7 +374,7 @@ class ETJaxTrainer:
 
         return jax.jit(val_step)
 
-    def _build_eval_step(self):
+    def _build_eval_step(self, jit: bool = True):
         """Test metrics per scene: ADE/FDE/TCC/COL per ped (trainer.py:172-195)."""
         use_pallas = self.cfg.use_pallas and jax.default_backend() == "tpu"
 
@@ -434,7 +434,8 @@ class ETJaxTrainer:
                 return (ade.reshape(b, n), fde.reshape(b, n),
                         tcc.reshape(b, n), cols)
         else:
-            def eval_step(params, batch_stats, obs, pred, valid, scene_ids):
+            def eval_step(params, batch_stats, obs, pred, valid, scene_ids,
+                          gather, gmask, inv_g, inv_i):
                 aux = self._make_aux_template(obs.shape[0], scene_ids)
                 # Reference eval forwards one scene at a time, so its batch
                 # mean-centering of origins (model.py:90) and full-batch
@@ -448,12 +449,18 @@ class ETJaxTrainer:
                 coef = jax.tree_util.tree_map(lambda x: x[None], coef)
                 recon_flat, ade, fde, tcc = _flat_recon_metrics(
                     coef, pred, 1, obs.shape[0])
-                # COL must stay within-scene: mask cross-scene pairs.
-                same_scene = (scene_ids[:, None] == scene_ids[None, :])
-                col = M.col_scene_masked(recon_flat, valid, same_scene)
+                # COL must stay within-scene. The flat (P, P) pairwise mask
+                # wastes (1 - sum n_i^2 / P^2) of its distance work on
+                # cross-scene pairs that are discarded (univ: ~16x); instead
+                # gather peds into per-scene (G, m) blocks and vmap the
+                # sequenced per-scene COL over them — bit-identical values,
+                # O(sum of m^2) pairwise work.
+                recon_g = jnp.transpose(recon_flat[:, gather], (1, 0, 2, 3, 4))
+                col_gm = jax.vmap(M.col)(recon_g, gmask)     # (G, m)
+                col = col_gm[inv_g, inv_i]                   # (P,)
                 return (ade, fde, tcc, col)
 
-        return jax.jit(eval_step)
+        return jax.jit(eval_step) if jit else eval_step
 
     # -------------------------------------------------------------- epochs
     def _epoch_lr(self, epoch: int) -> float:
@@ -610,10 +617,16 @@ class ETJaxTrainer:
         exactly the training batcher). Cross-scene isolation is preserved by
         the per-scene vmap (sequenced) / block-diagonal scene_ids masks
         (collated), so per-ped metrics match the one-scene-per-dispatch path;
-        all dispatches are issued before the first host sync, which is what
-        turns a tunnel-latency-bound loop into a device-bound one."""
+        The whole split is ONE device dispatch and ONE host transfer: the
+        padded batches are stacked on a leading axis and `lax.map`-ed inside a
+        single jitted program (sequential over batches, so peak memory equals
+        the one-batch path), with the four per-ped metric vectors stacked into
+        a single output array. Through the tunneled chip each dispatch and
+        each D2H transfer costs a ~33 ms round trip, so the previous
+        per-batch-dispatch + 4-arrays-per-batch pattern (e.g. 12 dispatches +
+        48 transfers on pecnet/univ) was latency-bound, not compute-bound."""
         if self._eval_step is None:
-            self._eval_step = self._build_eval_step()
+            self._eval_step = self._build_eval_step(jit=False)
         meters = {k: M.AverageMeter() for k in ("ADE", "FDE", "TCC", "COL")}
         if eval_ped_batch is None and self.batching != "sequenced":
             # Attention-over-all-tokens models (AgentFormer) grow O(P^2)
@@ -635,19 +648,53 @@ class ETJaxTrainer:
                 batcher = CollatedBatcher(
                     self.data_test, eval_ped_batch, False,
                     max_collated_peds(self.data_test, eval_ped_batch))
-                for b in batcher:
+                batches = list(batcher)
+                # Per-scene gather maps for the scene-blocked COL: static
+                # (G, m) across all batches so lax.map sees uniform shapes.
+                groups_per_batch = []
+                for b in batches:
+                    sids = b.scene_ids
+                    uniq = [s for s in dict.fromkeys(sids.tolist()) if s >= 0]
+                    groups_per_batch.append(
+                        [np.flatnonzero(sids == s) for s in uniq])
+                g_max = max(len(g) for g in groups_per_batch)
+                m_max = max((len(idx) for g in groups_per_batch for idx in g),
+                            default=1)
+                for b, groups in zip(batches, groups_per_batch):
+                    p = b.obs.shape[0]
+                    gather = np.zeros((g_max, m_max), np.int32)
+                    gmask = np.zeros((g_max, m_max), bool)
+                    inv_g = np.zeros((p,), np.int32)
+                    inv_i = np.zeros((p,), np.int32)
+                    for gi, idx in enumerate(groups):
+                        gather[gi, :len(idx)] = idx
+                        gmask[gi, :len(idx)] = True
+                        inv_g[idx] = gi
+                        inv_i[idx] = np.arange(len(idx))
                     dev.append(((jnp.asarray(b.obs), jnp.asarray(b.pred),
                                  jnp.asarray(b.ped_valid),
-                                 jnp.asarray(b.scene_ids)), b.ped_valid))
-            self._eval_batches = dev
+                                 jnp.asarray(b.scene_ids), jnp.asarray(gather),
+                                 jnp.asarray(gmask), jnp.asarray(inv_g),
+                                 jnp.asarray(inv_i)), b.ped_valid))
+            # Stack the uniform padded batches on a leading axis (device-
+            # resident across test() calls) and compile one lax.map program
+            # over it. B is static, so the executable is cached per cache_key.
+            stacked = tuple(jnp.stack(a) for a in zip(*[args for args, _ in dev]))
+            body = self._eval_step
+
+            def eval_all(params, batch_stats, batches):
+                return jax.lax.map(
+                    lambda a: jnp.stack(body(params, batch_stats, *a)), batches)
+
+            self._eval_batches = (stacked, [v for _, v in dev])
+            self._eval_all = jax.jit(eval_all)
             self._eval_batches_key = cache_key
-        outs = [(self._eval_step(self.params, self.batch_stats, *args), v)
-                for args, v in self._eval_batches]
-        jax.block_until_ready([o for o, _ in outs])
-        for (ades, fdes, tccs, cols), v in outs:
-            for name, val in zip(("ADE", "FDE", "TCC", "COL"),
-                                 (ades, fdes, tccs, cols)):
-                meters[name].extend(np.asarray(val)[v])
+        stacked, valids = self._eval_batches
+        # One dispatch, one (B, 4, ...) D2H.
+        res = np.asarray(self._eval_all(self.params, self.batch_stats, stacked))
+        for i, v in enumerate(valids):
+            for j, name in enumerate(("ADE", "FDE", "TCC", "COL")):
+                meters[name].extend(res[i, j][v])
         return {k: m.mean() for k, m in meters.items()}
 
     # --------------------------------------------------------- checkpoints
