@@ -95,7 +95,14 @@ def main():
     parser.add_argument("--obs_len", type=int, default=8)
     parser.add_argument("--pred_len", type=int, default=12)
     parser.add_argument("--json", default=None, help="optional JSON output path")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (leaves a busy TPU alone; "
+                             "the JAX_PLATFORMS env var is too late once the "
+                             "accelerator plugin has registered)")
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     all_results = {}
     for scene in args.datasets:
