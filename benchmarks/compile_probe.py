@@ -62,15 +62,28 @@ def main():
             tr.data_train, cfg.batch_size, False, tr.p_max, drop_last=True)))
         bargs = (jnp.asarray(b.obs), jnp.asarray(b.pred),
                  jnp.asarray(b.ped_valid), jnp.asarray(b.scene_ids))
-    full = (tr.params, tr.batch_stats, tr.opt_state) + bargs + (
-        jax.random.PRNGKey(0),)
+    if hasattr(step, "lower"):
+        full = (tr.params, tr.batch_stats, tr.opt_state) + bargs + (
+            jax.random.PRNGKey(0),)
+        label = "train_step"
+    else:
+        # Micro-batched trainers return a plain-Python wrapper whose compiled
+        # unit is the per-chunk grad program — probe that (it is exactly the
+        # graph whose size motivated micro-batching in the first place).
+        m = step.micro_batches
+        chunk = bargs[0].shape[0] // m
+        rngs = jax.random.split(jax.random.PRNGKey(0), bargs[0].shape[0])
+        full = (tr.params, tr.batch_stats) + tuple(
+            a[:chunk] for a in bargs) + (rngs[:chunk],)
+        step = step.grad_fn
+        label = f"grad_fn(1/{m})"
 
     t0 = time.perf_counter()
     low = step.lower(*full)
     t1 = time.perf_counter()
     comp = low.compile()
     t2 = time.perf_counter()
-    print(f"train_step  lower {t1-t0:7.1f}s  compile {t2-t1:7.1f}s  "
+    print(f"{label}  lower {t1-t0:7.1f}s  compile {t2-t1:7.1f}s  "
           f"hlo_lines {low.as_text().count(chr(10))}")
     del comp
 

@@ -25,6 +25,21 @@ import time
 REFERENCE = "/root/reference"
 
 
+def _seed_suffix(seed) -> str:
+    """One keying scheme for snapshot filenames AND result-JSON keys — the
+    three call sites must never drift apart or --eval-snapshot would look up
+    a snapshot under a different name than _fit_resumable writes."""
+    return "" if not seed else f"-seed{seed}"
+
+
+def _snap_path(baseline: str, dataset: str, seed) -> str:
+    resume_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "ref_resume")
+    os.makedirs(resume_dir, exist_ok=True)
+    return os.path.join(resume_dir,
+                        f"{baseline}-{dataset}{_seed_suffix(seed)}.pt")
+
+
 def _fit_resumable(tr, hp, torch, args):
     """Replicate the reference fit loop (utils/trainer.py:68-87) epoch by
     epoch, snapshotting full training state after every epoch.
@@ -38,12 +53,7 @@ def _fit_resumable(tr, hp, torch, args):
 
     import numpy as np
 
-    resume_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "ref_resume")
-    os.makedirs(resume_dir, exist_ok=True)
-    suffix = "" if getattr(args, "seed", 0) == 0 else f"-seed{args.seed}"
-    snap = os.path.join(resume_dir,
-                        f"{args.baseline}-{args.dataset}{suffix}.pt")
+    snap = _snap_path(args.baseline, args.dataset, getattr(args, "seed", 0))
 
     start = 0
     if os.path.exists(snap):
@@ -88,7 +98,10 @@ def _fit_resumable(tr, hp, torch, args):
             "np_rng": np.random.get_state(),
             "py_rng": random.getstate(),
             "best_model": best_blob,
-        }, snap)
+        }, snap + ".tmp")
+        # Atomic publish: --eval-snapshot copies this file from a live run,
+        # so it must never observe a half-written archive.
+        os.replace(snap + ".tmp", snap)
         print(f"Dataset: {hp.dataset}, Epoch: {epoch}, "
               f"Train_loss: {tr.log['train_loss'][-1]:.8f}, "
               f"Val_loss: {tr.log['val_loss'][-1]:.8f}, "
@@ -198,13 +211,10 @@ def main():
     if args.eval_snapshot:
         import shutil
 
-        resume_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "ref_resume")
-        suffix = "" if args.seed == 0 else f"-seed{args.seed}"
-        snap = os.path.join(resume_dir,
-                            f"{args.baseline}-{args.dataset}{suffix}.pt")
-        # Copy first: the live --resume process rewrites the snapshot after
-        # every epoch; torch.load on the file being rewritten could tear.
+        snap = _snap_path(args.baseline, args.dataset, args.seed)
+        # Copy first: the live --resume process republishes the snapshot
+        # (atomically, via .tmp + os.replace) after every epoch; copying
+        # pins one complete version for the slow torch.load below.
         snap_copy = snap + ".evalcopy"
         shutil.copyfile(snap, snap_copy)
         state = torch.load(snap_copy, weights_only=False)
@@ -232,9 +242,11 @@ def main():
         if os.path.exists(out_path):
             with open(out_path) as f:
                 data = json.load(f)
-        data[f"{args.baseline}-{args.dataset}{suffix}@ep{epoch + 1}"] = entry
-        with open(out_path, "w") as f:
+        data[f"{args.baseline}-{args.dataset}{_seed_suffix(args.seed)}"
+             f"@ep{epoch + 1}"] = entry
+        with open(out_path + ".tmp", "w") as f:
             json.dump(data, f, indent=2, sort_keys=True)
+        os.replace(out_path + ".tmp", out_path)
         print(json.dumps(entry))
         return
 
@@ -262,10 +274,10 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             data = json.load(f)
-    suffix = "" if args.seed == 0 else f"-seed{args.seed}"
-    data[f"{args.baseline}-{args.dataset}{suffix}"] = entry
-    with open(out_path, "w") as f:
+    data[f"{args.baseline}-{args.dataset}{_seed_suffix(args.seed)}"] = entry
+    with open(out_path + ".tmp", "w") as f:
         json.dump(data, f, indent=2, sort_keys=True)
+    os.replace(out_path + ".tmp", out_path)
     print(json.dumps(entry))
 
 

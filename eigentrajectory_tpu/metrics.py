@@ -69,8 +69,11 @@ def _dense_window(pred: jnp.ndarray) -> jnp.ndarray:
     """
     num_interp = 4
     td = 3 * num_interp + 2
-    nseg = -(-(td - 1) // num_interp)
     p = jnp.transpose(pred, (0, 2, 1, 3))                   # (S, T, N, 2)
+    # Clamp to the segments that exist: for T < 5 the window is simply
+    # shorter (matching the reference, which densifies all T-1 segments
+    # then slices) instead of a broadcast error.
+    nseg = min(-(-(td - 1) // num_interp), p.shape[1] - 1)
     fp = p[:, :1]                                           # (S, 1, N, 2)
     rel = (p[:, 1:nseg + 1] - p[:, :nseg]) / num_interp     # (S, nseg, N, 2)
     rel_dense = jnp.repeat(rel, num_interp, axis=1)

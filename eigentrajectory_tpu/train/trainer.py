@@ -323,6 +323,12 @@ class ETJaxTrainer:
                     new_bs = _tree_weighted_mean(stacked, w)
                     return params2, new_bs, opt_state2, total_loss
 
+                # Expose the jitted sub-programs for compile probing
+                # (benchmarks/compile_probe.py): the wrapper itself is plain
+                # Python and has no .lower().
+                micro_train_step.grad_fn = grad_fn
+                micro_train_step.apply_fn = apply_jit
+                micro_train_step.micro_batches = m
                 return micro_train_step
 
             def train_step(params, batch_stats, opt_state, obs, pred, valid,
@@ -635,9 +641,12 @@ class ETJaxTrainer:
         # Padded test batches live on device across test() calls (the data is
         # a few MB; a serving deployment keeps its eval set device-resident).
         # First call pays padding + H2D; repeats are pure compute.
-        cache_key = (self.batching, eval_batch, eval_ped_batch,
-                     id(self.data_test))
-        if getattr(self, "_eval_batches_key", None) != cache_key:
+        # Key on the dataset OBJECT (held strongly below), not id(): CPython
+        # recycles addresses, so an id()-keyed cache could silently serve a
+        # replaced test split from the previous split's device batches.
+        cache_key = (self.batching, eval_batch, eval_ped_batch)
+        if (getattr(self, "_eval_batches_key", None) != cache_key
+                or getattr(self, "_eval_batches_data", None) is not self.data_test):
             dev = []
             if self.batching == "sequenced":
                 for b in SceneBatcher(self.data_test, eval_batch, False, self.n_max):
@@ -689,6 +698,7 @@ class ETJaxTrainer:
             self._eval_batches = (stacked, [v for _, v in dev])
             self._eval_all = jax.jit(eval_all)
             self._eval_batches_key = cache_key
+            self._eval_batches_data = self.data_test
         stacked, valids = self._eval_batches
         # One dispatch, one (B, 4, ...) D2H.
         res = np.asarray(self._eval_all(self.params, self.batch_stats, stacked))

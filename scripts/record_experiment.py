@@ -52,8 +52,11 @@ def main():
     table[args.name] = {"baseline": args.baseline, "dataset": args.dataset,
                         "seed": args.seed, "tag": args.tag,
                         "notes": args.notes, **results}
-    with open(OUT, "w") as f:
+    # Atomic publish (same pattern as sweep.py's flush_out): a crash mid-dump
+    # must not corrupt previously recorded runs.
+    with open(OUT + ".tmp", "w") as f:
         json.dump(table, f, indent=2)
+    os.replace(OUT + ".tmp", OUT)
     print(json.dumps({args.name: table[args.name]}))
 
 

@@ -32,16 +32,21 @@ def test_trained_checkpoint_quality(tag, baseline, dataset, max_ade, max_fde):
     assert results["FDE"] < max_fde, results
 
 
-COLLATED = {"pecnet", "agentformer", "lbebm"}
+# Collated baselines whose pre-ghost-fix runs are still semantically valid:
+# pecnet/lbebm scope interactions purely through the block-diagonal
+# scene_mask, which always excluded the padded ghosts. AgentFormer is
+# collated but NOT ghost-safe — its attention masks padding via key_bias
+# built from the (then-broken) ped_valid template, so its attention saw
+# ghost keys pre-fix (RESULTS.md 'ghost-pedestrian fix').
+GHOST_SAFE = {"pecnet", "lbebm"}
 
 
 def _valid_runs(baseline, dataset):
     """Every semantically-valid completed run of a config.
 
     - table2_sweep.json: post-ghost-fix matrix cells (always valid).
-    - table2_ghost_*.json: archived pre-fix sweeps — valid for COLLATED
-      baselines only (their block-diagonal scene_mask always excluded the
-      padded ghosts; verified in RESULTS.md 'ghost-pedestrian fix').
+    - table2_ghost_*.json: archived pre-fix sweeps — valid for GHOST_SAFE
+      baselines only.
     - experiments.json: seed-variance / knob runs (scripts/record_experiment.py).
     """
     import json
@@ -49,8 +54,8 @@ def _valid_runs(baseline, dataset):
     runs = []
     key = f"{baseline}/{dataset}"
     sources = [("benchmarks/table2_sweep.json", True),
-               ("benchmarks/table2_ghost_round1.json", baseline in COLLATED),
-               ("benchmarks/table2_ghost_sweep_r2.json", baseline in COLLATED)]
+               ("benchmarks/table2_ghost_round1.json", baseline in GHOST_SAFE),
+               ("benchmarks/table2_ghost_sweep_r2.json", baseline in GHOST_SAFE)]
     for path, ok in sources:
         if ok and os.path.exists(path):
             with open(path) as f:
