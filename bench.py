@@ -21,6 +21,39 @@ BASELINE_MODEL = "stgcnn"
 EVAL_BATCH = 320
 
 
+def _check_backend_reachable(timeout_s: float = 300.0):
+    """Fail fast (with a diagnostic) if the accelerator backend is wedged.
+
+    jax.devices() on the tunneled axon platform can block indefinitely when
+    the host-side relay loses the chip claim (observed 2026-08-17: every new
+    client hung >25 min, then UNAVAILABLE). Probing in a subprocess keeps the
+    bench process itself clean and turns an infinite hang into a bounded,
+    explained failure the driver can record.
+    """
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "eval_throughput_et-stgcnn_hotel", "value": None,
+            "unit": "trajectories/sec", "vs_baseline": None,
+            "error": f"accelerator backend unreachable (device init exceeded "
+                     f"{timeout_s:.0f}s — relay/tunnel outage, not a "
+                     f"framework failure)"}))
+        raise SystemExit(2)
+    if r.returncode != 0:
+        print(json.dumps({
+            "metric": "eval_throughput_et-stgcnn_hotel", "value": None,
+            "unit": "trajectories/sec", "vs_baseline": None,
+            "error": "backend init failed: " + r.stderr.strip()[-400:]}))
+        raise SystemExit(2)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -97,4 +130,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _check_backend_reachable()
     main()
