@@ -62,3 +62,26 @@ def test_col_padding_invariance(rng):
     pvalid = jnp.asarray([True] * 5 + [False] * 3)
     out = np.asarray(M.col(jnp.asarray(padded), pvalid))
     np.testing.assert_allclose(out[:5], base, atol=1e-6)
+
+
+def test_col_short_horizon(rng):
+    """T < 5 must yield a (shorter) window, not a broadcast error.
+
+    The reference densifies all T-1 segments then slices the first 14
+    positions (metrics.py:139-143); _dense_window computes only the
+    contributing segments and must clamp when fewer exist.
+    """
+    pred, _ = _random_preds(rng, t=4)
+
+    # numpy reference: full densify (num_interp=4) then [:14]
+    p = np.transpose(pred, (0, 2, 1, 3))                  # (S, T, N, 2)
+    rel = (p[:, 1:] - p[:, :-1]) / 4.0
+    dense = np.concatenate([p[:, :1], np.repeat(rel, 4, axis=1)],
+                           axis=1).cumsum(axis=1)[:, :14]
+    ours = np.asarray(M._dense_window(jnp.asarray(pred)))
+    assert ours.shape == dense.shape == (20, 13, 7, 2)
+    np.testing.assert_allclose(ours, dense, atol=1e-5)
+
+    # end-to-end: col() runs without shape errors on the short horizon
+    out = np.asarray(M.col(jnp.asarray(pred), jnp.ones(7, bool)))
+    assert out.shape == (7,) and np.isfinite(out).all()
