@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--dataset", default="hotel")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--dump", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (probe HLO size / lowering "
+                         "without touching a busy or unreachable TPU)")
     args = ap.parse_args()
 
     if args.no_cache:
@@ -37,6 +40,8 @@ def main():
                                    + f" --xla_dump_to={args.dump}")
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from eigentrajectory_tpu.config import load_config
