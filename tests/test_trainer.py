@@ -88,3 +88,23 @@ def test_checkpoint_roundtrip(tiny_trainer):
     r2 = tr2.test()
     for k in r1:
         np.testing.assert_allclose(r1[k], r2[k], atol=1e-5)
+
+
+def test_eval_cache_tracks_dataset_replacement(tiny_trainer):
+    """Replacing data_test must rebuild the device-resident eval cache.
+
+    The cache was once keyed on id(data_test); CPython recycles addresses,
+    so a replaced split could silently evaluate against the previous split's
+    cached device batches. The key now holds the dataset object itself."""
+    tr = tiny_trainer("stgcnn")
+    tr.init_descriptor()
+    tr.fit(num_epochs=1, verbose=False)
+    r1 = tr.test()
+    cache1 = tr._eval_batches
+
+    tr.data_test = _synthetic_data(np.random.default_rng(99))
+    r2 = tr.test()
+    assert tr._eval_batches is not cache1, "cache not rebuilt on swap"
+    assert tr._eval_batches_data is tr.data_test
+    # different synthetic split -> different metrics (same split would match)
+    assert abs(r1["ADE"] - r2["ADE"]) > 1e-9
