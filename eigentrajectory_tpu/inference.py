@@ -22,20 +22,27 @@ from .train.trainer import ETJaxTrainer
 
 
 class ETPredictor:
-    """Compiled multi-modal trajectory predictor for one experiment."""
+    """Compiled multi-modal trajectory predictor for one experiment.
 
-    def __init__(self, trainer: ETJaxTrainer, bucket: int = 128):
+    Pass a `jax.sharding.Mesh` (e.g. `parallel.make_mesh()`) to shard the
+    scene axis over the mesh's 'data' axis: params are replicated, each
+    device predicts its shard of scenes, XLA handles layout — the serving
+    equivalent of SURVEY §2c P1 (the reference scales serving only by
+    running more single-GPU processes)."""
+
+    def __init__(self, trainer: ETJaxTrainer, bucket: int = 128, mesh=None):
         self.trainer = trainer
         self.cfg = trainer.cfg
         self.bucket = bucket
+        self.mesh = mesh
         self._fn = None
 
     @classmethod
     def from_checkpoint(cls, cfg: ExpConfig, tag: str, bucket: int = 128,
-                        datasets=None) -> "ETPredictor":
+                        datasets=None, mesh=None) -> "ETPredictor":
         tr = ETJaxTrainer(cfg, tag=tag, test_mode=True, datasets=datasets)
         tr.load_model()
-        return cls(tr, bucket=bucket)
+        return cls(tr, bucket=bucket, mesh=mesh)
 
     def _build(self, n_slots: int):
         """Compiled per-scene-batch forward.
@@ -49,7 +56,6 @@ class ETPredictor:
         """
         tr = self.trainer
 
-        @jax.jit
         def fn(params, batch_stats, obs, valid):
             def one(o, v):
                 aux = tr._make_aux_template(n_slots)
@@ -59,7 +65,16 @@ class ETPredictor:
 
             return jax.vmap(one)(obs, valid)
 
-        return fn
+        if self.mesh is None:
+            return jax.jit(fn)
+        from .parallel import batch_sharding, replicated
+
+        rep, data = replicated(self.mesh), batch_sharding(self.mesh)
+        # Scenes shard over 'data'; params/batch_stats replicate. The vmapped
+        # per-scene rows are independent, so no collectives are needed — XLA
+        # just partitions the scene axis across the mesh.
+        return jax.jit(fn, in_shardings=(rep, rep, data, data),
+                       out_shardings=data)
 
     def predict(self, obs_traj: np.ndarray,
                 scene_ids: Optional[np.ndarray] = None) -> np.ndarray:
@@ -79,6 +94,11 @@ class ETPredictor:
             self._fn_slots = n_slots
 
         b = len(uniq)
+        if self.mesh is not None:
+            # The sharded scene axis must divide evenly over 'data'; pad with
+            # all-invalid scenes (masked out, results discarded below).
+            n_data = self.mesh.shape["data"]
+            b = -(-b // n_data) * n_data
         obs = np.zeros((b, n_slots, obs_traj.shape[1], 2), np.float32)
         valid = np.zeros((b, n_slots), bool)
         index = []
