@@ -120,7 +120,14 @@ def main():
     ap.add_argument("--dataset", default="eth")
     ap.add_argument("--dataset_dir", default="./datasets/")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (plots don't need the "
+                         "accelerator; JAX_PLATFORMS env is too late once "
+                         "the plugin has registered)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from ..config import resolve_dataset_dir
 
