@@ -10,13 +10,17 @@
 #
 #   python -m eigentrajectory_tpu.interop \
 #       --cfg configs/eigentrajectory-stgcnn-hotel.json \
-#       --pth EigenTrajectory-STGCNN/eigentrajectory-stgcnn-hotel/model_best.pth \
+#       --pth pretrained/STGCNN/<release-folder>/eigentrajectory-stgcnn-hotel/model_best.pth \
 #       --test
+#
+# (Each zip extracts under pretrained/<baseline>/ — run `find pretrained/STGCNN
+# -name model_best.pth` after downloading to see the exact layout.)
 #
 # (Checkpoints load with torch.load(weights_only=True); pass --unsafe only
 # for trusted archives that need full unpickling.)
 
 set -e
+cd "$(dirname "$0")/.."   # extract under the repo root (pretrained/ is gitignored)
 
 baselines=("STGCNN" "SGCN" "PECNet" "AgentFormer" "LBEBM" "DMRGCN" "GPGraph-STGCNN" "GPGraph-SGCN" "Graph-TERN" "Implicit")
 
