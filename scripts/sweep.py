@@ -42,8 +42,10 @@ def regen_table2(out_path):
 
 
 def run_one(baseline: str, dataset: str, tag: str, epochs, test_only: bool,
-            config_dir: str):
+            config_dir: str, micro_batches=None):
     cfg = load_config(os.path.join(config_dir, f"eigentrajectory-{baseline}-{dataset}.json"))
+    if micro_batches:
+        cfg.micro_batches = micro_batches
     t0 = time.time()
     tr = ETJaxTrainer(cfg, tag=tag, test_mode=test_only)
     if test_only:
@@ -71,6 +73,9 @@ def main():
                     help="explicit baseline:dataset pairs (overrides the grid)")
     ap.add_argument("--fork", action=argparse.BooleanOptionalAction, default=True,
                     help="run each cell in a fresh subprocess (memory reclaim)")
+    ap.add_argument("--micro_batches", default=None, type=int,
+                    help="override the config's micro_batches for every cell "
+                         "(used by the automatic SIGKILL-retry path)")
     args = ap.parse_args()
 
     if args.cells:
@@ -95,25 +100,57 @@ def main():
     # per cell — a 13-cell in-process sweep OOM-killed a 125 GB box), so the
     # process boundary is the memory reclaim.
     if args.fork and args.out and len(cells) > 1:
-        for b, d in cells:
-            key = f"{b}/{d}"
-            if key in table and "error" not in table[key]:
-                print(f"=== {key} already done, skipping ===", flush=True)
-                continue
+        def run_cell(b, d, micro_batches=None):
+            """One cell in a fresh subprocess; returns (rc, table-after)."""
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--cells", f"{b}:{d}", "--tag", args.tag, "--out", args.out,
                  "--config_dir", args.config_dir, "--no-fork"]
                 + (["--epochs", str(args.epochs)] if args.epochs else [])
-                + (["--test-only"] if args.test_only else [])).returncode
+                + (["--test-only"] if args.test_only else [])
+                + (["--micro_batches", str(micro_batches)] if micro_batches
+                   else [])).returncode
             # The subprocess may die (OOM/SIGKILL) before ever creating the
             # output file on a fresh run — fall back to the in-memory table.
+            t = table
             if os.path.exists(args.out):
                 with open(args.out) as f:
-                    table = json.load(f)
+                    t = json.load(f)
+            return rc, t
+
+        for b, d in cells:
+            key = f"{b}/{d}"
+            if key in table and "error" not in table[key]:
+                print(f"=== {key} already done, skipping ===", flush=True)
+                continue
+            rc, table = run_cell(b, d)
             if key not in table or (rc != 0 and "error" not in table.get(key, {})):
                 table[key] = {"error": f"cell subprocess exited rc={rc}"}
                 flush_out()
+            # Compile-helper SIGKILL (the AOT helper gets OOM/limit-killed on
+            # XL graphs): retry with escalating micro_batches, which shrinks
+            # the per-chunk compiled graph while keeping the optimizer step
+            # bit-identical (trainer micro-batching proof in
+            # tests/test_micro_batching.py). Round-3 lost two cells to this
+            # failure mode because the sweep recorded the error and moved on.
+            err = table.get(key, {}).get("error", "")
+            if "SIGKILL" in err or rc in (-9, 137):
+                try:
+                    base_mb = load_config(os.path.join(
+                        args.config_dir,
+                        f"eigentrajectory-{b}-{d}.json")).micro_batches
+                except Exception:
+                    base_mb = 1
+                mb = max(4, base_mb * 2)
+                while mb <= 32 and "error" in table.get(key, {}):
+                    print(f"=== {key} SIGKILL — retrying with "
+                          f"micro_batches={mb} ===", flush=True)
+                    rc, table = run_cell(b, d, micro_batches=mb)
+                    if "error" not in table.get(key, {}):
+                        table[key]["micro_batches_retry"] = mb
+                        flush_out()
+                        break
+                    mb *= 2
         regen_table2(args.out)
         return
 
@@ -125,7 +162,8 @@ def main():
         print(f"=== {b} / {d} ===", flush=True)
         try:
             table[key] = run_one(b, d, f"{args.tag}-{b}", args.epochs,
-                                 args.test_only, args.config_dir)
+                                 args.test_only, args.config_dir,
+                                 micro_batches=args.micro_batches)
         except Exception as e:  # keep sweeping
             table[key] = {"error": str(e)}
         print(f"{key}: {table[key]}", flush=True)
