@@ -67,9 +67,11 @@ def main():
             tr.data_train, cfg.batch_size, False, tr.p_max, drop_last=True)))
         bargs = (jnp.asarray(b.obs), jnp.asarray(b.pred),
                  jnp.asarray(b.ped_valid), jnp.asarray(b.scene_ids))
-    if hasattr(step, "lower"):
+    extra = (tr.et, tr._sd)  # et/static_dist are runtime args (cache sharing)
+    if hasattr(step, "jitted") or hasattr(step, "lower"):
         full = (tr.params, tr.batch_stats, tr.opt_state) + bargs + (
-            jax.random.PRNGKey(0),)
+            jax.random.PRNGKey(0),) + extra
+        step = getattr(step, "jitted", step)
         label = "train_step"
     else:
         # Micro-batched trainers return a plain-Python wrapper whose compiled
@@ -79,7 +81,7 @@ def main():
         chunk = bargs[0].shape[0] // m
         rngs = jax.random.split(jax.random.PRNGKey(0), bargs[0].shape[0])
         full = (tr.params, tr.batch_stats) + tuple(
-            a[:chunk] for a in bargs) + (rngs[:chunk],)
+            a[:chunk] for a in bargs) + (rngs[:chunk],) + extra
         step = step.grad_fn
         label = f"grad_fn(1/{m})"
 
@@ -94,8 +96,9 @@ def main():
 
     for name, build in (("val_step", tr._build_val_step),):
         fn = build()
+        fn = getattr(fn, "jitted", fn)
         t0 = time.perf_counter()
-        low = fn.lower(tr.params, tr.batch_stats, *bargs)
+        low = fn.lower(tr.params, tr.batch_stats, *bargs, *extra)
         t1 = time.perf_counter()
         low.compile()
         t2 = time.perf_counter()
