@@ -84,7 +84,8 @@ def main():
     def run_once():
         outs = []
         for obs, pred, valid, svalid in batches:
-            outs.append(step(tr.params, tr.batch_stats, obs, pred, valid, svalid))
+            outs.append(step(tr.params, tr.batch_stats, obs, pred, valid,
+                             svalid, tr.et, tr._sd))
         jax.block_until_ready(outs)
         return outs
 

@@ -19,6 +19,7 @@ metrics and the best-val epoch, and leaves the reference checkpoint under
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -102,6 +103,26 @@ def _fit_resumable(tr, hp, torch, args):
         # Atomic publish: --eval-snapshot copies this file from a live run,
         # so it must never observe a half-written archive.
         os.replace(snap + ".tmp", snap)
+        # Durable publish: VM reboots (rounds 3 and 4) deleted the gitignored
+        # snapshots and cost whole multi-hour CPU runs. The snapshot is small
+        # (~0.5 MB), so force-commit it every 8 epochs — a reboot now loses at
+        # most 8 epochs. index.lock contention with a concurrent manual
+        # commit is non-fatal (the next multiple of 8 retries).
+        if epoch % 8 == 0:
+            try:
+                repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                subprocess.run(["git", "add", "-f", "--", snap], cwd=repo,
+                               check=True, capture_output=True)
+                if subprocess.run(["git", "diff", "--cached", "--quiet"],
+                                  cwd=repo).returncode != 0:
+                    subprocess.run(
+                        ["git", "commit", "-q", "-m",
+                         f"ref-resume snapshot: {args.baseline}-{args.dataset} "
+                         f"@ep{epoch}"], cwd=repo, check=True,
+                        capture_output=True)
+            except subprocess.CalledProcessError as e:
+                print(f"(snapshot auto-commit failed @ep{epoch}: "
+                      f"{e.stderr or e})", flush=True)
         print(f"Dataset: {hp.dataset}, Epoch: {epoch}, "
               f"Train_loss: {tr.log['train_loss'][-1]:.8f}, "
               f"Val_loss: {tr.log['val_loss'][-1]:.8f}, "

@@ -159,6 +159,11 @@ class ETJaxTrainer:
         self.opt_state = self.tx.init(self.params)
 
         self.et: Optional[ETParams] = None
+        # static_dist as a CONCRETE f32 scalar: it is passed to every jitted
+        # step as a runtime argument (not closed over), so the compiled
+        # executable — and the persistent-cache key — is identical across the
+        # five splits of a baseline (they share n_max=57; 4/5 share p_max).
+        self._sd = jnp.asarray(cfg.static_dist, jnp.float32)
         self._train_step = None
         self._eval_step = None
 
@@ -241,9 +246,19 @@ class ETJaxTrainer:
         return fn
 
     def _scene_forward(self, params, batch_stats, obs, pred, valid, rng, aux,
-                       train: bool, return_coefficients: bool = False):
+                       train: bool, return_coefficients: bool = False,
+                       et=None, static_dist=None):
+        """ET facade forward. Jitted steps pass `et`/`static_dist` explicitly
+        (runtime args -> one compile per baseline, shared across splits);
+        inference/serving callers omit them and get the trainer's own values
+        closed over (a fixed descriptor is fine for a single-config program).
+        """
+        if et is None:
+            et = self.et
+        if static_dist is None:
+            static_dist = self.cfg.static_dist
         pf = self._predictor_fn(params, batch_stats, rng, train)
-        return et_forward(self.et, pf, obs, valid, self.cfg.static_dist,
+        return et_forward(et, pf, obs, valid, static_dist,
                           pred_traj=pred, aux=aux,
                           return_coefficients=return_coefficients)
 
@@ -253,7 +268,7 @@ class ETJaxTrainer:
 
         if self.batching == "sequenced":
             def batched_grads(params, batch_stats, obs, pred, valid,
-                              scene_valid, rngs):
+                              scene_valid, rngs, et, static_dist):
                 """Loss + grads + batch-stat average for one chunk of scenes.
 
                 `rngs` carries one pre-split key PER SCENE. Losses are divided
@@ -268,7 +283,8 @@ class ETJaxTrainer:
                     def one(o, g, v, r):
                         out = self._scene_forward(p, batch_stats, o, g, v, r,
                                                   self._make_aux_template(o.shape[0]),
-                                                  train=True)
+                                                  train=True, et=et,
+                                                  static_dist=static_dist)
                         loss = (out["loss_eigentraj"] + out["loss_euclidean_ade"]
                                 + out["loss_euclidean_fde"])
                         new_bs = out.get("extras", batch_stats)
@@ -297,7 +313,7 @@ class ETJaxTrainer:
                 m = cfg.micro_batches
 
                 def micro_train_step(params, batch_stats, opt_state, obs, pred,
-                                     valid, scene_valid, rng):
+                                     valid, scene_valid, rng, et, static_dist):
                     chunk = obs.shape[0] // m
                     total_loss = 0.0
                     grads_acc = None
@@ -310,7 +326,7 @@ class ETJaxTrainer:
                         sl = slice(i * chunk, (i + 1) * chunk)
                         loss, grads, bs_avg, n_valid = grad_fn(
                             params, batch_stats, obs[sl], pred[sl], valid[sl],
-                            scene_valid[sl], scene_rngs[sl])
+                            scene_valid[sl], scene_rngs[sl], et, static_dist)
                         total_loss += loss
                         grads_acc = grads if grads_acc is None else \
                             jax.tree_util.tree_map(jnp.add, grads_acc, grads)
@@ -332,20 +348,21 @@ class ETJaxTrainer:
                 return micro_train_step
 
             def train_step(params, batch_stats, opt_state, obs, pred, valid,
-                           scene_valid, rng):
+                           scene_valid, rng, et, static_dist):
                 loss, grads, new_bs, _ = batched_grads(
                     params, batch_stats, obs, pred, valid, scene_valid,
-                    jax.random.split(rng, obs.shape[0]))
+                    jax.random.split(rng, obs.shape[0]), et, static_dist)
                 updates, opt_state2 = self.tx.update(grads, opt_state, params)
                 params2 = optax.apply_updates(params, updates)
                 return params2, new_bs, opt_state2, loss
         else:
             def train_step(params, batch_stats, opt_state, obs, pred, valid,
-                           scene_ids, rng):
+                           scene_ids, rng, et, static_dist):
                 def batched_loss(p):
                     aux = self._make_aux_template(obs.shape[0], scene_ids)
                     out = self._scene_forward(p, batch_stats, obs, pred, valid, rng,
-                                              aux, train=True)
+                                              aux, train=True, et=et,
+                                              static_dist=static_dist)
                     loss = (out["loss_eigentraj"] + out["loss_euclidean_ade"]
                             + out["loss_euclidean_fde"])
                     loss = jnp.nan_to_num(loss, nan=0.0, posinf=0.0, neginf=0.0)
@@ -361,21 +378,25 @@ class ETJaxTrainer:
     def _build_val_step(self):
         """Validation loss: sum(FDE_mean * n_valid) per scene (trainer.py:156-170)."""
         if self.batching == "sequenced":
-            def val_step(params, batch_stats, obs, pred, valid, scene_valid):
+            def val_step(params, batch_stats, obs, pred, valid, scene_valid,
+                         et, static_dist):
                 def one(o, g, v):
                     out = self._scene_forward(params, batch_stats, o, g, v, None,
                                               self._make_aux_template(o.shape[0]),
-                                              train=False)
+                                              train=False, et=et,
+                                              static_dist=static_dist)
                     n = v.astype(jnp.float32).sum()
                     return out["loss_euclidean_fde"] * n
 
                 losses = jax.vmap(one)(obs, pred, valid)
                 return (losses * scene_valid).sum()
         else:
-            def val_step(params, batch_stats, obs, pred, valid, scene_ids):
+            def val_step(params, batch_stats, obs, pred, valid, scene_ids,
+                         et, static_dist):
                 aux = self._make_aux_template(obs.shape[0], scene_ids)
                 out = self._scene_forward(params, batch_stats, obs, pred, valid,
-                                          None, aux, train=False)
+                                          None, aux, train=False, et=et,
+                                          static_dist=static_dist)
                 return out["loss_euclidean_fde"] * valid.astype(jnp.float32).sum()
 
         return jax.jit(val_step)
@@ -396,7 +417,7 @@ class ETJaxTrainer:
             mask = coef["moving_mask"].reshape(b * n)
             return c_m, c_s, ori, rot, sca, mask
 
-        def _flat_recon_metrics(coef, gt_flat, b, n):
+        def _flat_recon_metrics(coef, gt_flat, b, n, et):
             """Fused coefficients -> (recon_flat (s, B*N, T, 2), ade, fde, tcc).
 
             On TPU this is a single Pallas kernel (one HBM pass); elsewhere the
@@ -407,31 +428,34 @@ class ETJaxTrainer:
                 from ..ops.pallas_recon import fused_recon_metrics
 
                 return fused_recon_metrics(
-                    c_m, c_s, self.et.basis_m.U_pred, self.et.basis_s.U_pred,
+                    c_m, c_s, et.basis_m.U_pred, et.basis_s.U_pred,
                     ori, rot, sca, mask, gt_flat)
             from ..etspace.descriptor import reconstruct
             from ..etspace.normalizer import NormParams
 
             p = NormParams(ori=ori[:, None, :], rot=rot, sca=sca[:, None, None])
-            r_m = reconstruct(c_m, self.et.basis_m.U_pred, p, norm_sca=True)
-            r_s = reconstruct(c_s, self.et.basis_s.U_pred, p, norm_sca=False)
+            r_m = reconstruct(c_m, et.basis_m.U_pred, p, norm_sca=True)
+            r_s = reconstruct(c_s, et.basis_s.U_pred, p, norm_sca=False)
             recon = jnp.where(mask[None, :, None, None], r_m, r_s)
             return (recon, M.ade(recon, gt_flat), M.fde(recon, gt_flat),
                     M.tcc(recon, gt_flat))
 
         if self.batching == "sequenced":
-            def eval_step(params, batch_stats, obs, pred, valid, scene_valid):
+            def eval_step(params, batch_stats, obs, pred, valid, scene_valid,
+                          et, static_dist):
                 b, n = obs.shape[0], obs.shape[1]
 
                 def coef_fn(o, v):
                     return self._scene_forward(
                         params, batch_stats, o, None, v, None,
                         self._make_aux_template(o.shape[0]), train=False,
-                        return_coefficients=True)
+                        return_coefficients=True, et=et,
+                        static_dist=static_dist)
 
                 coef = jax.vmap(coef_fn)(obs, valid)
                 gt_flat = pred.reshape(b * n, self.cfg.pred_len, 2)
-                recon_flat, ade, fde, tcc = _flat_recon_metrics(coef, gt_flat, b, n)
+                recon_flat, ade, fde, tcc = _flat_recon_metrics(
+                    coef, gt_flat, b, n, et)
                 s = recon_flat.shape[0]
                 recon = jnp.transpose(
                     recon_flat.reshape(s, b, n, self.cfg.pred_len, 2),
@@ -441,7 +465,7 @@ class ETJaxTrainer:
                         tcc.reshape(b, n), cols)
         else:
             def eval_step(params, batch_stats, obs, pred, valid, scene_ids,
-                          gather, gmask, inv_g, inv_i):
+                          gather, gmask, inv_g, inv_i, et, static_dist):
                 aux = self._make_aux_template(obs.shape[0], scene_ids)
                 # Reference eval forwards one scene at a time, so its batch
                 # mean-centering of origins (model.py:90) and full-batch
@@ -451,10 +475,11 @@ class ETJaxTrainer:
                 aux["isolate_scenes"] = True
                 coef = self._scene_forward(params, batch_stats, obs, None, valid,
                                            None, aux, train=False,
-                                           return_coefficients=True)
+                                           return_coefficients=True, et=et,
+                                           static_dist=static_dist)
                 coef = jax.tree_util.tree_map(lambda x: x[None], coef)
                 recon_flat, ade, fde, tcc = _flat_recon_metrics(
-                    coef, pred, 1, obs.shape[0])
+                    coef, pred, 1, obs.shape[0], et)
                 # COL must stay within-scene. The flat (P, P) pairwise mask
                 # wastes (1 - sum n_i^2 / P^2) of its distance work on
                 # cross-scene pairs that are discarded (univ: ~16x); instead
@@ -525,7 +550,8 @@ class ETJaxTrainer:
                    else contextlib.nullcontext())
             with ctx:
                 self.params, self.batch_stats, self.opt_state, loss = self._train_step(
-                    self.params, self.batch_stats, self.opt_state, *args, step_rng)
+                    self.params, self.batch_stats, self.opt_state, *args,
+                    step_rng, self.et, self._sd)
                 losses.append(loss)
             count += 1
         # Identical left-to-right addition order to the per-step sync loop.
@@ -553,14 +579,14 @@ class ETJaxTrainer:
                 parts.append(self._val_step_fn(
                     self.params, self.batch_stats, jnp.asarray(batch.obs),
                     jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
-                    jnp.asarray(batch.scene_valid)))
+                    jnp.asarray(batch.scene_valid), self.et, self._sd))
         else:
             batcher = CollatedBatcher(self.data_val, self.cfg.batch_size, False, self.p_max)
             for batch in batcher:
                 parts.append(self._val_step_fn(
                     self.params, self.batch_stats, jnp.asarray(batch.obs),
                     jnp.asarray(batch.pred), jnp.asarray(batch.ped_valid),
-                    jnp.asarray(batch.scene_ids)))
+                    jnp.asarray(batch.scene_ids), self.et, self._sd))
         # Same left-to-right float addition order as the one-sync-per-batch
         # loop, so the logged val loss is bit-identical.
         total = 0.0
@@ -691,9 +717,10 @@ class ETJaxTrainer:
             stacked = tuple(jnp.stack(a) for a in zip(*[args for args, _ in dev]))
             body = self._eval_step
 
-            def eval_all(params, batch_stats, batches):
+            def eval_all(params, batch_stats, batches, et, static_dist):
                 return jax.lax.map(
-                    lambda a: jnp.stack(body(params, batch_stats, *a)), batches)
+                    lambda a: jnp.stack(body(params, batch_stats, *a, et,
+                                             static_dist)), batches)
 
             self._eval_batches = (stacked, [v for _, v in dev])
             self._eval_all = jax.jit(eval_all)
@@ -701,7 +728,8 @@ class ETJaxTrainer:
             self._eval_batches_data = self.data_test
         stacked, valids = self._eval_batches
         # One dispatch, one (B, 4, ...) D2H.
-        res = np.asarray(self._eval_all(self.params, self.batch_stats, stacked))
+        res = np.asarray(self._eval_all(self.params, self.batch_stats, stacked,
+                                        self.et, self._sd))
         for i, v in enumerate(valids):
             for j, name in enumerate(("ADE", "FDE", "TCC", "COL")):
                 meters[name].extend(res[i, j][v])

@@ -28,6 +28,34 @@ from eigentrajectory_tpu.config import load_config
 from eigentrajectory_tpu.train.trainer import ETJaxTrainer
 
 
+def commit_results(out_path, key):
+    """Commit the sweep's result artifacts after every finished cell.
+
+    Two VM reboots (rounds 3 and 4) erased everything not committed —
+    including finished cells and measured-reference resume state — so results
+    now land in git the moment they exist. Only the known result files are
+    staged (never -A), and failures are non-fatal: a concurrent manual commit
+    holding index.lock just means this cell rides along with the next one.
+    """
+    if not out_path:
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = [out_path, os.path.join(repo, "docs", "TABLE2.md")]
+    try:
+        subprocess.run(["git", "add", "--"] + [p for p in paths
+                                               if os.path.exists(p)],
+                       cwd=repo, check=True, capture_output=True)
+        diff = subprocess.run(["git", "diff", "--cached", "--quiet"], cwd=repo)
+        if diff.returncode != 0:
+            subprocess.run(["git", "commit", "-q", "-m",
+                            f"sweep: record {key}"],
+                           cwd=repo, check=True, capture_output=True)
+            print(f"(committed results for {key})", flush=True)
+    except subprocess.CalledProcessError as e:
+        print(f"(auto-commit failed for {key}: {e.stderr or e}) — results "
+              f"are still on disk; commit them manually", flush=True)
+
+
 def regen_table2(out_path):
     """Keep docs/TABLE2.md in sync with the sweep output (it went stale in
     round 2 when make_table2 wasn't re-run after late sweep commits)."""
@@ -151,6 +179,9 @@ def main():
                         flush_out()
                         break
                     mb *= 2
+            if "error" not in table.get(key, {}):
+                regen_table2(args.out)
+                commit_results(args.out, key)
         regen_table2(args.out)
         return
 
