@@ -104,21 +104,25 @@ def _fit_resumable(tr, hp, torch, args):
         # so it must never observe a half-written archive.
         os.replace(snap + ".tmp", snap)
         # Durable publish: VM reboots (rounds 3 and 4) deleted the gitignored
-        # snapshots and cost whole multi-hour CPU runs. The snapshot is small
-        # (~0.5 MB), so force-commit it every 8 epochs — a reboot now loses at
-        # most 8 epochs. index.lock contention with a concurrent manual
-        # commit is non-fatal (the next multiple of 8 retries).
-        if epoch % 8 == 0:
+        # snapshots and cost whole multi-hour CPU runs, so the snapshot is
+        # periodically committed to main — the one store proven to survive
+        # reboots here (a local side ref/branch may not survive a re-clone).
+        # Per the round-4 advisor findings the cadence is 16 epochs (halving
+        # history bloat vs round 4) and the commit is pathspec-scoped so a
+        # concurrently staged file (sweep.py's auto-committer runs in
+        # parallel by design) can never ride along under this message.
+        # index.lock contention is non-fatal (the next multiple retries).
+        if epoch % 16 == 0:
             try:
                 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                 subprocess.run(["git", "add", "-f", "--", snap], cwd=repo,
                                check=True, capture_output=True)
-                if subprocess.run(["git", "diff", "--cached", "--quiet"],
-                                  cwd=repo).returncode != 0:
+                if subprocess.run(["git", "diff", "--cached", "--quiet", "--",
+                                   snap], cwd=repo).returncode != 0:
                     subprocess.run(
                         ["git", "commit", "-q", "-m",
                          f"ref-resume snapshot: {args.baseline}-{args.dataset} "
-                         f"@ep{epoch}"], cwd=repo, check=True,
+                         f"@ep{epoch}", "--", snap], cwd=repo, check=True,
                         capture_output=True)
             except subprocess.CalledProcessError as e:
                 print(f"(snapshot auto-commit failed @ep{epoch}: "

@@ -40,15 +40,19 @@ def commit_results(out_path, key):
     if not out_path:
         return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    paths = [out_path, os.path.join(repo, "docs", "TABLE2.md")]
+    paths = [p for p in (out_path, os.path.join(repo, "docs", "TABLE2.md"))
+             if os.path.exists(p)]
     try:
-        subprocess.run(["git", "add", "--"] + [p for p in paths
-                                               if os.path.exists(p)],
+        subprocess.run(["git", "add", "--"] + paths,
                        cwd=repo, check=True, capture_output=True)
-        diff = subprocess.run(["git", "diff", "--cached", "--quiet"], cwd=repo)
+        diff = subprocess.run(["git", "diff", "--cached", "--quiet", "--"]
+                              + paths, cwd=repo)
         if diff.returncode != 0:
+            # Pathspec'd commit: only the sweep's own artifacts land in this
+            # commit, never whatever a concurrent auto-committer (e.g.
+            # train_reference.py) happens to have staged at the same moment.
             subprocess.run(["git", "commit", "-q", "-m",
-                            f"sweep: record {key}"],
+                            f"sweep: record {key}", "--"] + paths,
                            cwd=repo, check=True, capture_output=True)
             print(f"(committed results for {key})", flush=True)
     except subprocess.CalledProcessError as e:
