@@ -109,6 +109,16 @@ class ETJaxTrainer:
                 max_collated_peds(self.data_val, cfg.batch_size),
                 self.n_max,
             )
+            if cfg.mesh_data_axis > 1:
+                # The collated regime shards the flat PED axis over 'data',
+                # so the padded width must divide evenly across the mesh.
+                # Extra slots are inert (ped_valid False, scene_ids -1).
+                self.p_max = -(-self.p_max // cfg.mesh_data_axis) * cfg.mesh_data_axis
+        elif cfg.mesh_data_axis > 1:
+            assert cfg.batch_size % cfg.mesh_data_axis == 0, (
+                "sequenced regime shards the scene axis: batch_size must be "
+                f"divisible by mesh_data_axis ({cfg.batch_size} % "
+                f"{cfg.mesh_data_axis})")
 
         # --- model + optimizer ---
         self.model = self.baseline.make_model(cfg)
@@ -680,9 +690,12 @@ class ETJaxTrainer:
                                  jnp.asarray(b.ped_valid),
                                  jnp.asarray(b.scene_valid)), b.ped_valid))
             else:
+                p_eval = max_collated_peds(self.data_test, eval_ped_batch)
+                if self.mesh is not None:
+                    nd = self.mesh.shape["data"]
+                    p_eval = -(-p_eval // nd) * nd
                 batcher = CollatedBatcher(
-                    self.data_test, eval_ped_batch, False,
-                    max_collated_peds(self.data_test, eval_ped_batch))
+                    self.data_test, eval_ped_batch, False, p_eval)
                 batches = list(batcher)
                 # Per-scene gather maps for the scene-blocked COL: static
                 # (G, m) across all batches so lax.map sees uniform shapes.
@@ -715,6 +728,24 @@ class ETJaxTrainer:
             # resident across test() calls) and compile one lax.map program
             # over it. B is static, so the executable is cached per cache_key.
             stacked = tuple(jnp.stack(a) for a in zip(*[args for args, _ in dev]))
+            if self.mesh is not None:
+                # Data-parallel eval: lax.map iterates the leading batch axis,
+                # so shard axis 1 — the scene axis (sequenced) or ped axis
+                # (collated) — over 'data' and replicate anything indivisible
+                # (e.g. the (G, m) per-scene COL gather tables). Params/state
+                # are replicated; XLA partitions the per-ped metric program
+                # and inserts the collectives the block-diagonal masks need.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._replicate_state()
+                nd = self.mesh.shape["data"]
+
+                def put(x):
+                    spec = (P(None, "data") if x.ndim >= 2
+                            and x.shape[1] % nd == 0 else P())
+                    return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+                stacked = tuple(put(x) for x in stacked)
             body = self._eval_step
 
             def eval_all(params, batch_stats, batches, et, static_dist):
