@@ -85,12 +85,17 @@ class SocialCellGlobal(nn.Module):
     temporal_output: int
 
     @nn.compact
-    def __call__(self, v, valid):
-        # v: (1, C, T, V); noise is zeros in the Light variant so the noise_w
-        # term vanishes, but the parameter exists (model.py:60-63).
-        self.param("noise_w", nn.initializers.zeros, (1,))
+    def __call__(self, v, valid, noise=None, noise_scale: float = 1.0):
+        # v: (B, C, T, V). The Light variant passes no noise so the noise_w
+        # term vanishes, but the parameter exists (model.py:60-63); the full
+        # SocialImplicit adds noise_w * noise_weights[zone] * noise to the
+        # input (model.py:75-78), broadcasting the (KSTEPS, C, 1, 1) draw to
+        # a KSTEPS-sample batch.
+        noise_w = self.param("noise_w", nn.initializers.zeros, (1,))
         global_w = self.param("global_w", nn.initializers.zeros, (1,))
         local_w = self.param("local_w", nn.initializers.zeros, (1,))
+        if noise is not None:
+            v = v + noise_w * noise_scale * noise
 
         v_ped = SocialCellLocal(self.spatial_input, self.spatial_output,
                                 self.temporal_input, self.temporal_output,
@@ -144,6 +149,57 @@ class SocialImplicitLight(nn.Module):
                 self.spatial_input, self.spatial_output, self.temporal_input,
                 self.temporal_output, name=f"cell_{i}")(v_i, sel_sorted)
             out_i = out_i[..., inv_order]                # scatter back
+            out = jnp.where(sel[None, None, None, :], out_i, out)
+        return out
+
+
+class SocialImplicit(nn.Module):
+    """Full SocialImplicit (model.py:91-123) — DORMANT in the ET pipeline
+    (the trainer instantiates SocialImplicitLight, implicit/__init__.py:1).
+    Provided for reference-component completeness; pinned by
+    tests/test_dormant_stochastic.py.
+
+    Differences vs Light: 2 spatial channels (x, y), KSTEPS output samples
+    produced by a shared N(0, I2) draw scaled per zone by the learned noise_w
+    times the fixed noise_weight, and the zone key is the inf-norm over both
+    channels at the first timestep (model.py:113-115). `noise` injects the
+    (KSTEPS, C) standard-normal draw for deterministic tests; otherwise it
+    comes from the 'noise' RNG stream.
+    """
+
+    spatial_input: int = 2
+    spatial_output: int = 2
+    temporal_input: int = 8
+    temporal_output: int = 12
+
+    @nn.compact
+    def __call__(self, v, valid, ksteps: int = 20, noise=None,
+                 train: bool = False):
+        # v: (1, C, T, V)
+        n = v.shape[-1]
+        bins = jnp.asarray(BINS, v.dtype)
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("noise"),
+                                      (ksteps, self.spatial_input))
+        noise = noise[:, :, None, None].astype(v.dtype)
+        norm = jnp.max(jnp.abs(v[0, :, 0, :]), axis=0)   # (V,) inf-norm @ t=0
+        zone = jnp.sum(norm[None, :] >= bins[:, None], axis=0) - 1
+        zone = jnp.clip(zone, 0, len(BINS) - 1)
+
+        out = jnp.zeros((noise.shape[0], self.spatial_output,
+                         self.temporal_output, n), v.dtype)
+        for i in range(len(BINS)):
+            sel = (zone == i) & valid
+            order = jnp.argsort(~sel, stable=True)
+            inv_order = jnp.argsort(order, stable=True)
+            sel_sorted = sel[order]
+            v_i = zero_invalid(v[..., order], sel_sorted, 3)
+            out_i = SocialCellGlobal(
+                self.spatial_input, self.spatial_output, self.temporal_input,
+                self.temporal_output, name=f"cell_{i}")(
+                    v_i, sel_sorted, noise=noise,
+                    noise_scale=NOISE_WEIGHT[i])
+            out_i = out_i[..., inv_order]
             out = jnp.where(sel[None, None, None, :], out_i, out)
         return out
 
