@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (probe HLO size / lowering "
                          "without touching a busy or unreachable TPU)")
+    ap.add_argument("--micro", type=int, default=None,
+                    help="override cfg.micro_batches: probes the per-chunk "
+                         "grad program (bit-identical training, B/M-sized "
+                         "compiled graph) as a cold-start mitigation A/B")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override cfg.batch_size: A/B whether TPU compile "
+                         "time scales with the vmapped scene width")
     args = ap.parse_args()
 
     if args.no_cache:
@@ -50,9 +57,14 @@ def main():
                                                    max_collated_peds)
     from eigentrajectory_tpu.train.trainer import ETJaxTrainer
 
+    overrides = {}
+    if args.micro is not None:
+        overrides["micro_batches"] = args.micro
+    if args.batch is not None:
+        overrides["batch_size"] = args.batch
     cfg = load_config(
         f"configs/eigentrajectory-{args.baseline}-{args.dataset}.json",
-        checkpoint_dir="/tmp/et_compile_probe")
+        checkpoint_dir="/tmp/et_compile_probe", **overrides)
     tr = ETJaxTrainer(cfg, tag="cprobe", test_mode=False)
     tr.init_descriptor()
     print("backend:", jax.default_backend())
