@@ -109,6 +109,30 @@ def kmeans_predict(centers: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(_pairwise_sq_dist(x, centers), axis=1)
 
 
+def batch_kmeans_fit(
+    key: jax.Array,
+    x: jnp.ndarray,
+    n_clusters: int,
+    n_init: int = 10,
+    max_iter: int = 300,
+    tol: float = 1e-6,
+) -> jnp.ndarray:
+    """Fit INDEPENDENT k-means problems over a leading batch axis in one
+    jitted program: x (B, N, d) -> centers (B, S, d).
+
+    Equivalent of the reference's BatchKMeans (EigenTrajectory/kmeans.py:7-279
+    — dead code there: never imported by the ET pipeline, which uses sklearn
+    via anchor.py). Where the reference hand-batches every k-means++ and
+    Lloyd step with einsum/scatter over a torch batch dim, here the live
+    jitted single-problem k-means is simply vmapped; XLA fuses the batch the
+    same way, and each problem still takes the best of `n_init` restarts.
+    """
+    keys = jax.random.split(key, x.shape[0])
+    return jax.vmap(
+        lambda k, xi: kmeans_fit(k, xi, n_clusters, n_init, max_iter, tol)
+    )(keys, x)
+
+
 def generate_anchors(
     key: jax.Array,
     pred_traj_norm: jnp.ndarray,

@@ -43,3 +43,32 @@ def test_refine_broadcast():
     out = refine(anchor, c)
     assert out.shape == (6, 5, 3)
     np.testing.assert_allclose(np.asarray(out[:, 2, 1]), np.arange(6.0) + 1.0)
+
+
+def test_batch_kmeans_matches_per_problem_fit():
+    """batch_kmeans_fit (the reference's dead BatchKMeans, kmeans.py:7-279)
+    is exactly a vmap of the live k-means: same keys => identical centers,
+    and each batch problem clusters its own blobs."""
+    from eigentrajectory_tpu.etspace.anchor import batch_kmeans_fit
+
+    rng = np.random.default_rng(7)
+    xs = []
+    for b in range(3):
+        x, _ = _blobs(np.random.default_rng(100 + b), spread=1.0)
+        xs.append(x[:120])
+    x = jnp.asarray(np.stack(xs))
+
+    key = jax.random.PRNGKey(3)
+    batched = np.asarray(batch_kmeans_fit(key, x, 5, n_init=4, max_iter=50))
+    keys = jax.random.split(key, 3)
+    for b in range(3):
+        solo = np.asarray(kmeans_fit(keys[b], x[b], 5, n_init=4, max_iter=50))
+        np.testing.assert_allclose(batched[b], solo, atol=1e-6)
+
+    # quality: batched centers beat a random-subset baseline on every problem
+    for b in range(3):
+        d2 = ((np.asarray(x[b])[:, None] - batched[b][None]) ** 2).sum(-1)
+        inertia = d2.min(axis=1).sum()
+        rand = np.asarray(x[b])[rng.choice(len(x[b]), 5, replace=False)]
+        d2r = ((np.asarray(x[b])[:, None] - rand[None]) ** 2).sum(-1)
+        assert inertia < d2r.min(axis=1).sum()
