@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None,
                     help="override cfg.batch_size: A/B whether TPU compile "
                          "time scales with the vmapped scene width")
+    ap.add_argument("--scan", type=int, default=None,
+                    help="override cfg.scan_chunks: probes the lax.scan "
+                         "grad-accumulation step (one dispatch, chunk-sized "
+                         "compiled body) as the cold-compile mitigation")
     args = ap.parse_args()
 
     if args.no_cache:
@@ -62,6 +66,8 @@ def main():
         overrides["micro_batches"] = args.micro
     if args.batch is not None:
         overrides["batch_size"] = args.batch
+    if args.scan is not None:
+        overrides["scan_chunks"] = args.scan
     cfg = load_config(
         f"configs/eigentrajectory-{args.baseline}-{args.dataset}.json",
         checkpoint_dir="/tmp/et_compile_probe", **overrides)

@@ -67,6 +67,12 @@ class ExpConfig:
     micro_batches: int = 1             # split sequenced batches into M chunks with
                                        # host-side grad accumulation (identical math,
                                        # 1/M the compiled graph — for XL predictors)
+    scan_chunks: int = 1               # device-side lax.scan over M chunks inside ONE
+                                       # jitted sequenced step: same summation order as
+                                       # micro_batches (bit-identical), one dispatch,
+                                       # but the XLA backend compiles only the chunk
+                                       # body — cuts the cold compile cliff (compile
+                                       # probe: 215 s at B=128 vs 13 s at B=8)
     warmup_epochs: int = 0             # linear LR warmup over the first N epochs
                                        # (training-dynamics experiment knob)
     wd_exclude: tuple = ()             # param-path substrings excluded from AdamW

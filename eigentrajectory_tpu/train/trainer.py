@@ -357,6 +357,58 @@ class ETJaxTrainer:
                 micro_train_step.micro_batches = m
                 return micro_train_step
 
+            if cfg.scan_chunks > 1:
+                assert cfg.batch_size % cfg.scan_chunks == 0, (
+                    "batch_size must be divisible by scan_chunks")
+                m = cfg.scan_chunks
+
+                def train_step(params, batch_stats, opt_state, obs, pred,
+                               valid, scene_valid, rng, et, static_dist):
+                    """Device-side grad accumulation: lax.scan over M chunks.
+
+                    Same per-scene key slicing and left-to-right summation
+                    order as the micro_batches path (bit-identical losses,
+                    grads, and batch-stat averages — pinned by
+                    tests/test_micro_batching.py), but in ONE dispatch and,
+                    critically, ONE chunk-sized compiled body: the XLA TPU
+                    backend's backward-pass codegen cost cliffs between
+                    scene-width 8 and 32 (compile_probe: 12.8 s at B=8 vs
+                    215 s at B=128), and scan keeps the hot graph below it.
+                    """
+                    chunk = obs.shape[0] // m
+                    scene_rngs = jax.random.split(rng, obs.shape[0])
+                    xs = tuple(
+                        x.reshape((m, chunk) + x.shape[1:])
+                        for x in (obs, pred, valid, scene_valid, scene_rngs))
+
+                    def body(carry, x):
+                        grads_acc, loss_acc, bs_acc, w_acc = carry
+                        o, g, v, sv, r = x
+                        loss, grads, bs_avg, n_valid = batched_grads(
+                            params, batch_stats, o, g, v, sv, r, et,
+                            static_dist)
+                        grads_acc = jax.tree_util.tree_map(
+                            jnp.add, grads_acc, grads)
+                        bs_acc = jax.tree_util.tree_map(
+                            lambda a, b: a + b * n_valid, bs_acc, bs_avg)
+                        return ((grads_acc, loss_acc + loss, bs_acc,
+                                 w_acc + n_valid), None)
+
+                    zeros = lambda t: jax.tree_util.tree_map(
+                        jnp.zeros_like, t)
+                    carry0 = (zeros(params), jnp.float32(0.0),
+                              zeros(batch_stats), jnp.float32(0.0))
+                    (grads, loss, bs_sum, w), _ = jax.lax.scan(
+                        body, carry0, xs)
+                    new_bs = jax.tree_util.tree_map(
+                        lambda s: s / jnp.maximum(w, 1.0), bs_sum)
+                    updates, opt_state2 = self.tx.update(
+                        grads, opt_state, params)
+                    params2 = optax.apply_updates(params, updates)
+                    return params2, new_bs, opt_state2, loss
+
+                return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
             def train_step(params, batch_stats, opt_state, obs, pred, valid,
                            scene_valid, rng, et, static_dist):
                 loss, grads, new_bs, _ = batched_grads(
