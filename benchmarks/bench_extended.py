@@ -28,12 +28,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REGIMES = [
-    ("stgcnn", "hotel", "sequenced"),
-    ("pecnet", "univ", "collated"),
+    ("stgcnn", "hotel", "sequenced", {}),
+    ("pecnet", "univ", "collated", {}),
+    # Cold-compile mitigation A/B: same model/data as "sequenced" but with
+    # device-side lax.scan grad accumulation (only the chunk body compiles;
+    # compile probe: 19 s vs 215 s). Records the steady-state epoch cost of
+    # the scan so the compile/runtime trade stays visible.
+    ("stgcnn", "hotel", "sequenced_scan16", {"scan_chunks": 16}),
 ]
 
 
-def bench_regime(baseline: str, dataset: str, trace_dir=None):
+def bench_regime(baseline: str, dataset: str, trace_dir=None, overrides=None):
     import jax
 
     from eigentrajectory_tpu.config import load_config
@@ -41,7 +46,8 @@ def bench_regime(baseline: str, dataset: str, trace_dir=None):
     from eigentrajectory_tpu.utils.profiling import StepTimer, start_trace, stop_trace
 
     cfg = load_config(f"configs/eigentrajectory-{baseline}-{dataset}.json",
-                      checkpoint_dir="/tmp/et_tpu_bench_ext")
+                      checkpoint_dir="/tmp/et_tpu_bench_ext",
+                      **(overrides or {}))
     tr = ETJaxTrainer(cfg, tag="benchx", test_mode=False)
     tr.init_descriptor()
 
@@ -106,10 +112,10 @@ def main():
     out_path = args.out or os.path.join(here, "bench_extended.json")
 
     results = {}
-    for baseline, dataset, regime in REGIMES:
+    for baseline, dataset, regime, overrides in REGIMES:
         trace_dir = (os.path.join(here, "traces", f"{baseline}-{dataset}")
                      if args.trace else None)
-        r = bench_regime(baseline, dataset, trace_dir)
+        r = bench_regime(baseline, dataset, trace_dir, overrides)
         results[regime] = r
         print(json.dumps(r), flush=True)
 
