@@ -28,7 +28,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REGIMES = [
-    ("stgcnn", "hotel", "sequenced", {}),
+    # scan_chunks=1 pins the UNROLLED whole-batch step: since scan_chunks=0
+    # (auto, the config default) now resolves to chunked lax.scan at
+    # batch_size=128, the A/B below needs the unrolled arm pinned explicitly.
+    ("stgcnn", "hotel", "sequenced", {"scan_chunks": 1}),
     ("pecnet", "univ", "collated", {}),
     # Cold-compile mitigation A/B: same model/data as "sequenced" but with
     # device-side lax.scan grad accumulation (only the chunk body compiles;

@@ -67,12 +67,15 @@ class ExpConfig:
     micro_batches: int = 1             # split sequenced batches into M chunks with
                                        # host-side grad accumulation (identical math,
                                        # 1/M the compiled graph — for XL predictors)
-    scan_chunks: int = 1               # device-side lax.scan over M chunks inside ONE
+    scan_chunks: int = 0               # device-side lax.scan over M chunks inside ONE
                                        # jitted sequenced step: same summation order as
                                        # micro_batches (bit-identical), one dispatch,
                                        # but the XLA backend compiles only the chunk
                                        # body — cuts the cold compile cliff (compile
-                                       # probe: 215 s at B=128 vs 13 s at B=8)
+                                       # probe: 215 s at B=128 vs 13 s at B=8).
+                                       # 0 = auto: largest M with chunk width <= 8
+                                       # (below the measured cliff) when batch_size
+                                       # divides evenly; 1 disables (unrolled step)
     warmup_epochs: int = 0             # linear LR warmup over the first N epochs
                                        # (training-dynamics experiment knob)
     wd_exclude: tuple = ()             # param-path substrings excluded from AdamW

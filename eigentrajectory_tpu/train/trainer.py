@@ -357,10 +357,20 @@ class ETJaxTrainer:
                 micro_train_step.micro_batches = m
                 return micro_train_step
 
-            if cfg.scan_chunks > 1:
-                assert cfg.batch_size % cfg.scan_chunks == 0, (
+            # scan_chunks == 0 resolves to the largest chunking that keeps the
+            # compiled backward body at scene-width <= 8 — below the XLA TPU
+            # backend's codegen cost cliff (compile_probe: 12.8 s at width 8
+            # vs 215 s at width 128) — so the cold-compile fix is the default
+            # for production batch sizes while tiny test batches stay unrolled.
+            scan_m = cfg.scan_chunks
+            if scan_m == 0:
+                scan_m = (cfg.batch_size // 8
+                          if cfg.batch_size > 8 and cfg.batch_size % 8 == 0
+                          else 1)
+            if scan_m > 1:
+                assert cfg.batch_size % scan_m == 0, (
                     "batch_size must be divisible by scan_chunks")
-                m = cfg.scan_chunks
+                m = scan_m
 
                 def train_step(params, batch_stats, opt_state, obs, pred,
                                valid, scene_valid, rng, et, static_dist):

@@ -76,7 +76,7 @@ def test_scan_chunks_matches_micro_and_full(tmp_path):
 
     scan = build(scan_chunks=4)
     micro = build(micro_batches=4)
-    full = build()
+    full = build(scan_chunks=1)
     # scan == micro: identical summation order -> loss float-equality.
     # (Params still drift at reassociation scale: XLA fuses the scan body
     # differently than the standalone grad_fn, and AdamW's 1/sqrt(v)
@@ -90,3 +90,32 @@ def test_scan_chunks_matches_micro_and_full(tmp_path):
     # scan == full: up to chunked-sum reassociation
     np.testing.assert_allclose(scan.log["train_loss"],
                                full.log["train_loss"], rtol=2e-4)
+
+
+def test_scan_chunks_auto_default(tmp_path):
+    """scan_chunks=0 (the default) auto-resolves to chunk width <= 8: at
+    batch_size=16 it must reproduce an explicit scan_chunks=2 run to float
+    equality (same path), and at batch_size=8 (not > 8) it must stay on the
+    unrolled step, float-equal to an explicit scan_chunks=1 run."""
+    def build(**kw):
+        bs = kw.get("batch_size", 8)
+        cfg = ExpConfig(baseline="stgcnn", checkpoint_dir=str(tmp_path),
+                        dataset="synthetic", **kw)
+        data = tuple(_synthetic_data(np.random.default_rng(3), n_scenes=2 * bs)
+                     for _ in range(3))
+        tag = "auto-" + "-".join(f"{k}{v}" for k, v in kw.items())
+        tr = ETJaxTrainer(cfg, tag=tag, test_mode=True, datasets=data)
+        tr.init_descriptor()
+        for epoch in range(2):
+            tr.train(epoch)
+        return tr
+
+    auto16 = build(batch_size=16)
+    explicit16 = build(batch_size=16, scan_chunks=2)
+    np.testing.assert_allclose(auto16.log["train_loss"],
+                               explicit16.log["train_loss"], rtol=1e-6)
+
+    auto8 = build(batch_size=8)
+    unrolled8 = build(batch_size=8, scan_chunks=1)
+    np.testing.assert_allclose(auto8.log["train_loss"],
+                               unrolled8.log["train_loss"], rtol=1e-6)
