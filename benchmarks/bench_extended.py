@@ -116,7 +116,9 @@ def main():
 
     results = {}
     for baseline, dataset, regime, overrides in REGIMES:
-        trace_dir = (os.path.join(here, "traces", f"{baseline}-{dataset}")
+        # Key traces on the regime name: 'sequenced' and 'sequenced_scan16'
+        # share baseline-dataset, and the A/B profiles must stay separable.
+        trace_dir = (os.path.join(here, "traces", regime)
                      if args.trace else None)
         r = bench_regime(baseline, dataset, trace_dir, overrides)
         results[regime] = r

@@ -248,7 +248,10 @@ def gmm_endpoint_sample(rng, v_init: jnp.ndarray, n_smpl: int, n_ways: int,
         mu, std = t[..., :2], jnp.exp(t[..., 2:4])
         eps = jax.random.normal(ke, (n_smpl, v, 2))
         vi = jnp.arange(v)[None, :]
-        dests.append(mu[vi, comp] + std[vi, comp] * eps)
+        # The reference's MixtureSameFamily.sample() is detached (no grad_fn,
+        # model.py:117-121): gradients must not flow into the GMM head
+        # through the sampled endpoints.
+        dests.append(jax.lax.stop_gradient(mu[vi, comp] + std[vi, comp] * eps))
     return jnp.stack(dests, axis=3).mean(axis=3)           # (S, V, 2)
 
 

@@ -85,7 +85,10 @@ class ReplayMemory:
         import numpy as np
 
         idx = rng.choice(len(self.memory), size=n, replace=False)
-        return np.stack([self.memory[i] for i in idx])
+        # Concatenate, not stack: the reference pushes z_e_k.split(1) rows of
+        # shape (1, zdim) and returns torch.cat(samples) -> (n, zdim)
+        # (lbebm/model.py:53-54); stacking would add a bogus middle axis.
+        return np.concatenate([self.memory[i] for i in idx], axis=0)
 
     def __len__(self) -> int:
         return len(self.memory)

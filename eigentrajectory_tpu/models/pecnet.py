@@ -100,6 +100,11 @@ class PECNetCVAE(nn.Module):
         encoder_dest = TorchMLP(ENC_DEST_SIZE, self.fdim, name="encoder_dest")
 
         ftraj = encoder_past(past)
+        if train and (mask is None or dest is None):
+            # Mirror the reference's precondition (pecnet/model.py:117-118,
+            # `assert self.training ^ (mask is None)`): the training branch
+            # needs the GT destination and the social-pool mask.
+            raise ValueError("train=True requires both `dest` and `mask`")
         if train:
             latent = TorchMLP(ENC_LATENT_SIZE, 2 * self.zdim,
                               name="encoder_latent")(

@@ -357,16 +357,24 @@ class ETJaxTrainer:
                 micro_train_step.micro_batches = m
                 return micro_train_step
 
-            # scan_chunks == 0 resolves to the largest chunking that keeps the
-            # compiled backward body at scene-width <= 8 — below the XLA TPU
-            # backend's codegen cost cliff (compile_probe: 12.8 s at width 8
-            # vs 215 s at width 128) — so the cold-compile fix is the default
-            # for production batch sizes while tiny test batches stay unrolled.
+            # scan_chunks == 0 resolves to the smallest chunk count that keeps
+            # the compiled backward body at scene-width <= 8 — below the XLA
+            # TPU backend's codegen cost cliff (compile_probe: 12.8 s at width
+            # 8 vs 215 s at width 128) — so the cold-compile fix is the
+            # default for production batch sizes while tiny test batches stay
+            # unrolled. Auto stays OFF under a data-parallel mesh: the scan's
+            # (B,) -> (M, B/M) reshape would reshard the sharded scene axis
+            # and serialize the mesh into M sequential narrow bodies; pass an
+            # explicit scan_chunks to combine them deliberately.
             scan_m = cfg.scan_chunks
             if scan_m == 0:
-                scan_m = (cfg.batch_size // 8
-                          if cfg.batch_size > 8 and cfg.batch_size % 8 == 0
-                          else 1)
+                scan_m = 1
+                if cfg.mesh_data_axis == 1 and cfg.batch_size > 8:
+                    for cand in range(-(-cfg.batch_size // 8),
+                                      cfg.batch_size // 2 + 1):
+                        if cfg.batch_size % cand == 0:
+                            scan_m = cand
+                            break
             if scan_m > 1:
                 assert cfg.batch_size % scan_m == 0, (
                     "batch_size must be divisible by scan_chunks")

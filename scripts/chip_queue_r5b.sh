@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-5 chip queue, part B: the remaining seed-spread cells.
+#   - gpgraphstgcnn-eth-seed1, agentformer-eth-seed1 (finish the eth column)
+#   - sgcn-zara1-seed1 (the reference's post-LR-step @ep156 snapshot edged
+#     ahead of our table2 ADE by 0.002; a second seed gives us our own draw
+#     distribution on the driver config)
+# Serial — one chip. Each cell: train -> eval/record -> scoped commit.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/chip_queue_r5b
+mkdir -p "$LOG"
+
+chip_quiet() {
+  local n=0
+  while [ $n -lt 3 ]; do
+    if ps -eo cmd | grep -E "[c]ompile_probe|[b]ench_extended|[t]rainval|[r]ecord_experiment|[w]arm_cache" >/dev/null; then
+      n=0; sleep 30
+    else
+      n=$((n + 1)); sleep 30
+    fi
+  done
+}
+
+run_cell() {
+  local baseline=$1 dataset=$2
+  local name="$baseline-$dataset-seed1"
+  if python - "$name" <<'EOF'
+import json, sys
+t = json.load(open('benchmarks/experiments.json'))
+sys.exit(0 if sys.argv[1] in t else 1)
+EOF
+  then
+    echo "[$(date +%H:%M:%S)] $name already recorded, skip" >> "$LOG/queue.log"
+    return 0
+  fi
+  chip_quiet
+  echo "[$(date +%H:%M:%S)] starting $name" >> "$LOG/queue.log"
+  python trainval.py --cfg "configs/experiments/$name.json" \
+      --tag "expt-$name" > "$LOG/$name.log" 2>&1 \
+  && python scripts/record_experiment.py --name "$name" \
+      --cfg "configs/experiments/$name.json" \
+      --baseline "$baseline" --dataset "$dataset" --seed 1 --tag "expt-$name" \
+      --notes "seed-1 run (seed-spread evidence)" \
+      >> "$LOG/$name.log" 2>&1 \
+  && git add -- benchmarks/experiments.json "configs/experiments/$name.json" \
+  && git commit -q -m "Record $name experiment (seed-spread evidence)" \
+      -- benchmarks/experiments.json "configs/experiments/$name.json"
+  echo "[$(date +%H:%M:%S)] $name rc=$?" >> "$LOG/queue.log"
+}
+
+run_cell gpgraphstgcnn eth
+run_cell agentformer eth
+run_cell sgcn zara1
+echo "[$(date +%H:%M:%S)] chip queue r5b complete" >> "$LOG/queue.log"

@@ -23,11 +23,18 @@ step "bench (TPU)"         python bench.py
 step "full test suite"     timeout 5400 python -m pytest tests/ -q
 
 step "commit artifacts" bash -c '
-  git add -- docs/TABLE2.md docs/PARITY.md benchmarks/bench_history.json \
+  # Add per-file: a single git add aborts and stages NOTHING if any one
+  # listed path is missing, which would silently skip the hygiene commit.
+  # Commit with the same pathspec so a concurrently staged file from another
+  # auto-committer can never be swept into this commit (ADVICE r4).
+  files=()
+  for f in docs/TABLE2.md docs/PARITY.md benchmarks/bench_history.json \
       benchmarks/reference_measured.json benchmarks/experiments.json \
-      benchmarks/table2_sweep.json BASELINE.json 2>/dev/null
-  if ! git diff --cached --quiet; then
-    git commit -q -m "round hygiene: refresh derived artifacts (table2/parity/bench history)"
+      benchmarks/table2_sweep.json BASELINE.json; do
+    [ -e "$f" ] && files+=("$f") && git add -- "$f"
+  done
+  if ! git diff --cached --quiet -- "${files[@]}"; then
+    git commit -q -m "round hygiene: refresh derived artifacts (table2/parity/bench history)" -- "${files[@]}"
   else
     echo "nothing to commit"
   fi'

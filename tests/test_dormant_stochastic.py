@@ -211,11 +211,15 @@ def test_lbebm_replay_memory_ring():
     sample without replacement."""
     mem = lbebm.ReplayMemory(capacity=3)
     for i in range(5):
-        mem.push(np.full((2,), i, np.float32))
+        # Rows arrive as z_e_k.split(1) chunks of shape (1, zdim) in the
+        # reference's PCD loop (model.py:180-182); zdim=2 here.
+        mem.push(np.full((1, 2), i, np.float32))
     assert len(mem) == 3
-    vals = sorted(float(v[0]) for v in mem.memory)
+    vals = sorted(float(v[0, 0]) for v in mem.memory)
     assert vals == [2.0, 3.0, 4.0]  # 0 and 1 overwritten
     got = mem.sample(np.random.default_rng(0), n=3)
+    # torch.cat semantics: (n, zdim), NOT (n, 1, zdim)
+    assert got.shape == (3, 2)
     assert sorted(got[:, 0].tolist()) == [2.0, 3.0, 4.0]
 
 
