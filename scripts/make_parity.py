@@ -17,9 +17,14 @@ Evidence tiers (strongest first):
 
 Verdicts vs a measured target (both sides are draws of a noisy training
 process; our seed spread on pecnet-univ is ~0.02 ADE):
-  BEATS       ADE and FDE both <= the best reference draw
+  BEATS       ADE and FDE both <= some reference draw
   IN-BAND     ADE <= ref+0.010 and FDE <= ref+0.015 for some (ours, ref) pair
   OUT-OF-BAND otherwise
+Once a config has a COMPLETED full-epoch reference run, only completed
+draws (full runs and full seed variants) decide the verdict; "@epN"
+mid-training snapshots remain displayed but can no longer be the draw that
+earns a BEATS — beating an early checkpoint of a run whose final result is
+known would overstate parity.
 
 Usage: python scripts/make_parity.py [--out docs/PARITY.md]
 """
@@ -80,9 +85,16 @@ def measured_targets():
 
 
 def verdict(runs, refs):
+    # Mid-training "@epN" snapshots are arbiters only while no completed
+    # run exists: once a full-epoch draw is in, the verdict is decided
+    # against completed draws alone (snapshots stay in the table as
+    # context, but beating an early checkpoint of a finished run is not
+    # parity evidence).
+    completed = [r for r in refs if "@ep" not in r[0]]
+    deciding = completed or refs
     best = None
     for _, r in runs:
-        for key, t, _ in refs:
+        for key, t, _ in deciding:
             if r["ADE"] <= t["ADE"] and r["FDE"] <= t["FDE"]:
                 return "**BEATS**"
             if r["ADE"] <= t["ADE"] + ADE_BAND and r["FDE"] <= t["FDE"] + FDE_BAND:
@@ -105,7 +117,9 @@ def main():
         "best-val checkpoint of a still-running CPU run. Band: ADE +0.010 /",
         "FDE +0.015 around any measured draw (both sides are seeds of a",
         "noisy process; measured seed spread is ~0.02 ADE on pecnet-univ",
-        "for BOTH frameworks).",
+        "for BOTH frameworks). Once a config's reference run has COMPLETED",
+        "all 256 epochs, only completed draws decide its verdict; `@epN`",
+        "snapshots stay listed as context but cannot earn a BEATS.",
         "",
         "## Configs with measured reference targets",
         "",
