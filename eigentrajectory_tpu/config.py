@@ -73,9 +73,11 @@ class ExpConfig:
                                        # but the XLA backend compiles only the chunk
                                        # body — cuts the cold compile cliff (compile
                                        # probe: 215 s at B=128 vs 13 s at B=8).
-                                       # 0 = auto: largest M with chunk width <= 8
-                                       # (below the measured cliff) when batch_size
-                                       # divides evenly; 1 disables (unrolled step)
+                                       # 0 = auto: smallest M whose chunk width
+                                       # (batch_size/M) is <= 8, i.e. the largest
+                                       # chunk width below the measured cliff, when
+                                       # batch_size divides evenly and no data mesh
+                                       # is active; 1 disables (unrolled step)
     warmup_epochs: int = 0             # linear LR warmup over the first N epochs
                                        # (training-dynamics experiment knob)
     wd_exclude: tuple = ()             # param-path substrings excluded from AdamW

@@ -47,6 +47,10 @@ class LBEBMPredict(nn.Module):
 
 
 # Dormant-path hyper-parameters (utils/trainer.py:406-422, lbebm_params).
+# The non-local/zdim/sigma values coincide with pecnet's (optimal.yaml) but
+# are deliberately NOT imported from models.pecnet: the reference sources
+# them from its own lbebm_params dict, so the two configs can diverge
+# upstream independently.
 ENC_LATENT_SIZE = (256, 512)
 DEC_SIZE = (1024, 512, 1024)
 NON_LOCAL_THETA = (256, 128, 64)
@@ -112,6 +116,9 @@ class LBEBMCVAE(nn.Module):
     future_length: int
     fdim: int = FDIM
     zdim: int = ZDIM
+    # Unused, mirroring the reference: LBEBM.__init__ stores sigma
+    # (model.py:63-67) but eval draws come from the Langevin chain, so the
+    # field never affects behavior there either.
     sigma: float = SIGMA
 
     def _ebm_energy(self, params_ebm, z, cond):

@@ -801,21 +801,29 @@ class ETJaxTrainer:
             if self.mesh is not None:
                 # Data-parallel eval: lax.map iterates the leading batch axis,
                 # so shard axis 1 — the scene axis (sequenced) or ped axis
-                # (collated) — over 'data' and replicate anything indivisible
-                # (e.g. the (G, m) per-scene COL gather tables). Params/state
-                # are replicated; XLA partitions the per-ped metric program
-                # and inserts the collectives the block-diagonal masks need.
+                # (collated) — over 'data'. The shardable positions are listed
+                # EXPLICITLY per regime: the collated (G, m) per-scene COL
+                # gather tables (positions 4-5) are always replicated, even
+                # when g_max coincidentally divides the mesh (a divisibility
+                # heuristic would silently shard their scene-group axis and
+                # force resharding collectives around every COL gather).
+                # Params/state are replicated; XLA partitions the per-ped
+                # metric program and inserts the collectives the
+                # block-diagonal masks need.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 self._replicate_state()
                 nd = self.mesh.shape["data"]
+                shardable = (range(len(stacked))
+                             if self.batching == "sequenced"
+                             else (0, 1, 2, 3, 6, 7))
 
-                def put(x):
-                    spec = (P(None, "data") if x.ndim >= 2
+                def put(i, x):
+                    spec = (P(None, "data") if i in shardable
                             and x.shape[1] % nd == 0 else P())
                     return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-                stacked = tuple(put(x) for x in stacked)
+                stacked = tuple(put(i, x) for i, x in enumerate(stacked))
             body = self._eval_step
 
             def eval_all(params, batch_stats, batches, et, static_dist):

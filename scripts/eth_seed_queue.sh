@@ -9,6 +9,17 @@ cd "$(dirname "$0")/.."
 LOG=/tmp/eth_seed_queue
 mkdir -p "$LOG"
 
+chip_lock() {
+  # Mutex across queue scripts: chip_quiet alone races (two queues can both
+  # observe 3 quiet checks before either spawns trainval). mkdir is atomic;
+  # the PID inside lets a human clear a stale lock after a crash/reboot.
+  # Idempotent: per-cell calls return immediately once this script holds it.
+  [ "$(cat /tmp/chip_queue.lock/pid 2>/dev/null)" = "$$" ] && return 0
+  while ! mkdir /tmp/chip_queue.lock 2>/dev/null; do sleep 30; done
+  echo $$ > /tmp/chip_queue.lock/pid
+  trap 'rm -rf /tmp/chip_queue.lock' EXIT
+}
+
 chip_quiet() {
   # Require 3 consecutive quiet checks so we never start mid-handoff between
   # another queue's trainval and its record_experiment step.
@@ -34,6 +45,7 @@ EOF
     echo "[$(date +%H:%M:%S)] $name already recorded, skip" >> "$LOG/queue.log"
     return 0
   fi
+  chip_lock
   chip_quiet
   echo "[$(date +%H:%M:%S)] starting $name" >> "$LOG/queue.log"
   python trainval.py --cfg "configs/experiments/$name.json" \

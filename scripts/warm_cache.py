@@ -1,12 +1,14 @@
 """Pre-populate the persistent XLA compilation cache for a set of configs.
 
 The one axis where the eager-torch reference beats this framework is cold
-start: the sequenced train step's BACKWARD pass costs the TPU backend
-~3-4 min to compile (benchmarks/compile_probe.py measured 215 s at B=128 vs
-178 s for a B/4 micro-chunk and 6 s for the forward-only val step — the cost
-is the backward-pass codegen, nearly independent of batch width, so shrinking
-the graph does not help). The mitigation is to pay it once per baseline at
-deploy time: the runtime-et refactor keys the executable on (baseline, shape
+start: the sequenced train step's BACKWARD pass is where the TPU backend's
+compile time goes, and the cost cliff is steep in the compiled body's scene
+width (benchmarks/compile_probe.py: 215 s at width 128, 178 s at width 32,
+12.8 s at width 8; the forward-only val step is 6 s). The primary fix is
+scan_chunks (default-on): `lax.scan` grad accumulation keeps the compiled
+body at width <= 8 — ~19 s cold for the full step. This script is the
+complementary mitigation: pay whatever compile remains once per baseline at
+deploy time — the runtime-et refactor keys the executable on (baseline, shape
 bucket) only, so one warm per baseline serves all five splits and every
 re-run through `ET_JAX_CACHE_DIR` (tests/test_compile_cache_sharing.py).
 
